@@ -1,0 +1,4 @@
+from .node import CfgNode
+from .defaults import get_cfg
+
+__all__ = ["CfgNode", "get_cfg"]

@@ -1,0 +1,71 @@
+import os
+import tempfile
+
+import pytest
+
+from centermask2_tpu.config import get_cfg
+
+
+def test_defaults_match_reference_schema():
+    cfg = get_cfg()
+    # reference: centermask2/centermask/config/defaults.py
+    assert cfg.MODEL.FCOS.NUM_CLASSES == 80
+    assert cfg.MODEL.FCOS.FPN_STRIDES == [8, 16, 32, 64, 128]
+    assert cfg.MODEL.FCOS.NMS_TH == 0.6
+    assert cfg.MODEL.FCOS.PRE_NMS_TOPK_TEST == 1000
+    assert cfg.MODEL.FCOS.SIZES_OF_INTEREST == [64, 128, 256, 512]
+    assert cfg.MODEL.VOVNET.CONV_BODY == "V-39-eSE"
+    assert cfg.MODEL.VOVNET.NORM == "FrozenBN"
+    assert cfg.MODEL.ROI_MASKIOU_HEAD.NUM_CONV == 4
+    assert cfg.MODEL.PIXEL_MEAN == [103.530, 116.280, 123.675]
+
+
+def test_yaml_base_inheritance_and_opts():
+    base = """
+MODEL:
+  MASK_ON: True
+  FCOS:
+    POST_NMS_TOPK_TEST: 50
+SOLVER:
+  BASE_LR: 0.01
+"""
+    child = """
+_BASE_: "base.yaml"
+MODEL:
+  VOVNET:
+    CONV_BODY: "V-39-eSE"
+SOLVER:
+  MAX_ITER: 270000
+"""
+    with tempfile.TemporaryDirectory() as d:
+        with open(os.path.join(d, "base.yaml"), "w") as f:
+            f.write(base)
+        child_path = os.path.join(d, "child.yaml")
+        with open(child_path, "w") as f:
+            f.write(child)
+        cfg = get_cfg()
+        cfg.merge_from_file(child_path)
+    assert cfg.MODEL.MASK_ON is True
+    assert cfg.MODEL.FCOS.POST_NMS_TOPK_TEST == 50
+    assert cfg.SOLVER.BASE_LR == 0.01
+    assert cfg.SOLVER.MAX_ITER == 270000
+
+    cfg.merge_from_list(["MODEL.FCOS.NMS_TH", "0.5", "MODEL.MASK_ON", "False"])
+    assert cfg.MODEL.FCOS.NMS_TH == 0.5
+    assert cfg.MODEL.MASK_ON is False
+
+
+def test_freeze():
+    cfg = get_cfg()
+    cfg.freeze()
+    with pytest.raises(AttributeError):
+        cfg.MODEL.MASK_ON = True
+    cfg.defrost()
+    cfg.MODEL.MASK_ON = True
+    assert cfg.MODEL.MASK_ON
+
+
+def test_tuple_list_coercion():
+    cfg = get_cfg()
+    cfg.merge_from_list(["SOLVER.STEPS", "(210000, 250000)"])
+    assert tuple(cfg.SOLVER.STEPS) == (210000, 250000)
