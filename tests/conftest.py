@@ -2,15 +2,20 @@
 
 Multi-chip TPU hardware is unavailable in CI; sharding paths are validated
 on host-platform virtual devices (the driver separately dry-runs
-__graft_entry__.dryrun_multichip).
+__graft_entry__.dryrun_multichip). The axon TPU plugin force-registers
+itself via sitecustomize, so the platform must be overridden through
+jax.config, not just env vars.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
