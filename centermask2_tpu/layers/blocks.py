@@ -152,18 +152,18 @@ class GroupNorm(nn.Module):
         return y.astype(x.dtype)
 
 
-def get_norm(norm: str, features: int) -> Optional[nn.Module]:
+def get_norm(norm: str, features: int, name: str = "norm") -> Optional[nn.Module]:
     """Norm factory mirroring detectron2 get_norm as the reference uses it."""
     if not norm or norm == "none":
         return None
     if norm == "FrozenBN":
-        return FrozenBatchNorm(features)
+        return FrozenBatchNorm(features, name=name)
     if norm == "GN":
-        return GroupNorm(features)
+        return GroupNorm(features, name=name)
     if norm in ("BN", "SyncBN"):
         # Training-time batch stats are out of scope for the deploy parity
         # path; FrozenBN is what the shipped configs use.
-        return FrozenBatchNorm(features)
+        return FrozenBatchNorm(features, name=name)
     raise ValueError(f"Unknown norm: {norm}")
 
 
@@ -210,13 +210,14 @@ class SpatialAttention(nn.Module):
         max_out = jnp.max(x, axis=-1, keepdims=True)
         scale = jnp.concatenate([avg_out, max_out], axis=-1)
         p = self.kernel_size // 2
-        scale = Conv2d(
+        scale = nn.Conv(
             1,
             kernel_size=(self.kernel_size, self.kernel_size),
-            padding=(p, p),
+            padding=((p, p), (p, p)),
             use_bias=False,
             kernel_init=kaiming_normal_fan_out(),
             dtype=self.dtype,
+            param_dtype=jnp.float32,
             name="conv",
         )(scale)
         return x * jax.nn.sigmoid(scale.astype(jnp.float32)).astype(x.dtype)
@@ -281,16 +282,18 @@ class ConvNormAct(nn.Module):
         use_bias = self.use_bias
         if use_bias is None:
             use_bias = not self.norm
-        x = Conv2d(
+        ph, pw = self.padding
+        x = nn.Conv(
             self.features,
             kernel_size=self.kernel_size,
             strides=self.strides,
-            padding=self.padding,
-            groups=self.groups,
+            padding=((ph, ph), (pw, pw)),
+            feature_group_count=self.groups,
             use_bias=use_bias,
             kernel_init=self.kernel_init,
             dtype=self.dtype,
-            name="unit",
+            param_dtype=jnp.float32,
+            name="conv",
         )(x)
         norm = get_norm(self.norm, self.features)
         if norm is not None:

@@ -1,0 +1,211 @@
+"""VoVNetV2 backbone (One-Shot Aggregation + eSE), NHWC flax.
+
+Rebuilt from the behavior of the reference implementation
+(reference: centermask2/centermask/modeling/backbone/vovnet.py):
+- 7 stage specs (vovnet.py:30-108),
+- stem of 3 convs at strides 2/1/2 (vovnet.py:432-436),
+- OSA modules: input + k sequential 3x3 convs concatenated, 1x1 aggregate,
+  eSE gate, identity residual on non-first blocks (vovnet.py:263-332)
+  — note the reference applies eSE in *every* OSA module (forward at
+  vovnet.py:310-332 ignores the SE flag),
+- stages 3-5 open with ceil-mode 3x3/s2 max-pool (vovnet.py:345),
+- depthwise variants use dw3x3+pw1x1 with norm only after the pw conv
+  (vovnet.py:110-130) and a 1x1 reduction when in!=stage ch
+  (vovnet.py:285-290).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from centermask2_tpu.layers import (
+    ConvNormAct,
+    eSEModule,
+    get_norm,
+    kaiming_normal_fan_out,
+    max_pool2d_ceil,
+)
+
+# Stage specs (reference vovnet.py:30-108).
+VoVNet19_slim_dw_eSE = dict(
+    stem=[64, 64, 64], stage_conv_ch=[64, 80, 96, 112],
+    stage_out_ch=[112, 256, 384, 512], layer_per_block=3,
+    block_per_stage=[1, 1, 1, 1], eSE=True, dw=True)
+VoVNet19_dw_eSE = dict(
+    stem=[64, 64, 64], stage_conv_ch=[128, 160, 192, 224],
+    stage_out_ch=[256, 512, 768, 1024], layer_per_block=3,
+    block_per_stage=[1, 1, 1, 1], eSE=True, dw=True)
+VoVNet19_slim_eSE = dict(
+    stem=[64, 64, 128], stage_conv_ch=[64, 80, 96, 112],
+    stage_out_ch=[112, 256, 384, 512], layer_per_block=3,
+    block_per_stage=[1, 1, 1, 1], eSE=True, dw=False)
+VoVNet19_eSE = dict(
+    stem=[64, 64, 128], stage_conv_ch=[128, 160, 192, 224],
+    stage_out_ch=[256, 512, 768, 1024], layer_per_block=3,
+    block_per_stage=[1, 1, 1, 1], eSE=True, dw=False)
+VoVNet39_eSE = dict(
+    stem=[64, 64, 128], stage_conv_ch=[128, 160, 192, 224],
+    stage_out_ch=[256, 512, 768, 1024], layer_per_block=5,
+    block_per_stage=[1, 1, 2, 2], eSE=True, dw=False)
+VoVNet57_eSE = dict(
+    stem=[64, 64, 128], stage_conv_ch=[128, 160, 192, 224],
+    stage_out_ch=[256, 512, 768, 1024], layer_per_block=5,
+    block_per_stage=[1, 1, 4, 3], eSE=True, dw=False)
+VoVNet99_eSE = dict(
+    stem=[64, 64, 128], stage_conv_ch=[128, 160, 192, 224],
+    stage_out_ch=[256, 512, 768, 1024], layer_per_block=5,
+    block_per_stage=[1, 3, 9, 3], eSE=True, dw=False)
+
+STAGE_SPECS = {
+    "V-19-slim-dw-eSE": VoVNet19_slim_dw_eSE,
+    "V-19-dw-eSE": VoVNet19_dw_eSE,
+    "V-19-slim-eSE": VoVNet19_slim_eSE,
+    "V-19-eSE": VoVNet19_eSE,
+    "V-39-eSE": VoVNet39_eSE,
+    "V-57-eSE": VoVNet57_eSE,
+    "V-99-eSE": VoVNet99_eSE,
+}
+
+# stride of each out feature (vovnet.py:437-438,471-481)
+FEATURE_STRIDES = {"stem": 4, "stage2": 4, "stage3": 8, "stage4": 16, "stage5": 32}
+
+
+def feature_channels(body: str) -> Dict[str, int]:
+    spec = STAGE_SPECS[body]
+    out = {"stem": spec["stem"][2]}
+    for i, c in enumerate(spec["stage_out_ch"]):
+        out[f"stage{i + 2}"] = c
+    return out
+
+
+class DWConvBlock(nn.Module):
+    """dw3x3 (groups=C, no norm) -> pw1x1 -> norm -> relu
+    (reference dw_conv3x3, vovnet.py:110-130)."""
+
+    features: int
+    strides: Tuple[int, int] = (1, 1)
+    norm: str = "FrozenBN"
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(
+            self.features, kernel_size=(3, 3), strides=self.strides,
+            padding=((1, 1), (1, 1)), feature_group_count=self.features,
+            use_bias=False, kernel_init=kaiming_normal_fan_out(),
+            dtype=self.dtype, param_dtype=jnp.float32, name="dw_conv",
+        )(x)
+        x = nn.Conv(
+            self.features, kernel_size=(1, 1), use_bias=False,
+            kernel_init=kaiming_normal_fan_out(),
+            dtype=self.dtype, param_dtype=jnp.float32, name="pw_conv",
+        )(x)
+        norm = get_norm(self.norm, self.features, name="pw_norm")
+        if norm is not None:
+            x = norm(x)
+        return jax.nn.relu(x)
+
+
+class OSAModule(nn.Module):
+    """One-Shot-Aggregation block (reference _OSA_module, vovnet.py:263-332)."""
+
+    stage_ch: int
+    concat_ch: int
+    layer_per_block: int
+    identity: bool = False
+    depthwise: bool = False
+    norm: str = "FrozenBN"
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        identity_feat = x
+        outputs = [x]
+        in_ch = x.shape[-1]
+        if self.depthwise and in_ch != self.stage_ch:
+            x = ConvNormAct(
+                self.stage_ch, kernel_size=(1, 1), padding=(0, 0),
+                norm=self.norm, dtype=self.dtype, name="reduction",
+            )(x)
+        for i in range(self.layer_per_block):
+            if self.depthwise:
+                x = DWConvBlock(
+                    self.stage_ch, norm=self.norm, dtype=self.dtype,
+                    name=f"layer{i}",
+                )(x)
+            else:
+                x = ConvNormAct(
+                    self.stage_ch, kernel_size=(3, 3), padding=(1, 1),
+                    norm=self.norm, dtype=self.dtype, name=f"layer{i}",
+                )(x)
+            outputs.append(x)
+
+        x = jnp.concatenate(outputs, axis=-1)
+        xt = ConvNormAct(
+            self.concat_ch, kernel_size=(1, 1), padding=(0, 0),
+            norm=self.norm, dtype=self.dtype, name="concat",
+        )(x)
+        # eSE is unconditional in the reference forward (vovnet.py:326).
+        xt = eSEModule(self.concat_ch, dtype=self.dtype, name="ese")(xt)
+        if self.identity:
+            xt = xt + identity_feat
+        return xt
+
+
+class VoVNet(nn.Module):
+    """VoVNetV2 trunk. Returns a dict of the requested out_features."""
+
+    body: str = "V-39-eSE"
+    out_features: Sequence[str] = ("stage2", "stage3", "stage4", "stage5")
+    norm: str = "FrozenBN"
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        spec = STAGE_SPECS[self.body]
+        stem_ch = spec["stem"]
+        depthwise = spec["dw"]
+
+        # Stem: conv3x3/s2, conv/s1, conv/s2 (vovnet.py:432-436). The first
+        # stem conv is always a standard conv even in dw variants.
+        x = ConvNormAct(stem_ch[0], strides=(2, 2), norm=self.norm,
+                        dtype=self.dtype, name="stem_1")(x)
+        if depthwise:
+            x = DWConvBlock(stem_ch[1], norm=self.norm, dtype=self.dtype,
+                            name="stem_2")(x)
+            x = DWConvBlock(stem_ch[2], strides=(2, 2), norm=self.norm,
+                            dtype=self.dtype, name="stem_3")(x)
+        else:
+            x = ConvNormAct(stem_ch[1], norm=self.norm, dtype=self.dtype,
+                            name="stem_2")(x)
+            x = ConvNormAct(stem_ch[2], strides=(2, 2), norm=self.norm,
+                            dtype=self.dtype, name="stem_3")(x)
+
+        outputs: Dict[str, jnp.ndarray] = {}
+        if "stem" in self.out_features:
+            outputs["stem"] = x
+
+        for i in range(4):
+            stage_num = i + 2
+            if stage_num != 2:
+                x = max_pool2d_ceil(x, kernel=3, stride=2)
+            blocks = spec["block_per_stage"][i]
+            for b in range(blocks):
+                x = OSAModule(
+                    stage_ch=spec["stage_conv_ch"][i],
+                    concat_ch=spec["stage_out_ch"][i],
+                    layer_per_block=spec["layer_per_block"],
+                    identity=(b > 0),
+                    depthwise=depthwise,
+                    norm=self.norm,
+                    dtype=self.dtype,
+                    name=f"OSA{stage_num}_{b + 1}",
+                )(x)
+            name = f"stage{stage_num}"
+            if name in self.out_features:
+                outputs[name] = x
+        return outputs

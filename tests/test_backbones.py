@@ -1,0 +1,137 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as TF
+
+from centermask2_tpu.models.backbones import FPN, MobileNetV2, VoVNet
+from centermask2_tpu.models.backbones.vovnet import OSAModule
+
+
+def test_vovnet39_output_shapes():
+    model = VoVNet(body="V-39-eSE", out_features=("stage2", "stage3", "stage4", "stage5"),
+                   dtype=jnp.float32)
+    x = jnp.zeros((1, 256, 256, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert out["stage2"].shape == (1, 64, 64, 256)
+    assert out["stage3"].shape == (1, 32, 32, 512)
+    assert out["stage4"].shape == (1, 16, 16, 768)
+    assert out["stage5"].shape == (1, 8, 8, 1024)
+
+
+def test_vovnet_block_counts():
+    # V-39 has block_per_stage [1,1,2,2]: OSA4_2 / OSA5_2 exist, OSA3_2 doesn't
+    model = VoVNet(body="V-39-eSE", dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))["params"]
+    assert "OSA4_2" in params and "OSA5_2" in params
+    assert "OSA3_2" not in params
+    # FrozenBN params present and named for optimizer masking
+    assert "frozen_scale" in params["stem_1"]["norm"]
+
+
+def _np_osa_oracle(x_nchw, params, layer_per_block, identity):
+    """Torch composition of the OSA dataflow (input + k convs concat -> 1x1
+    -> eSE -> residual) used as numerical oracle."""
+    xt = torch.from_numpy(x_nchw)
+    identity_feat = xt
+    outputs = [xt]
+    cur = xt
+    for i in range(layer_per_block):
+        w, s, b = params[f"layer{i}"]
+        cur = TF.conv2d(cur, torch.from_numpy(w), padding=1)
+        cur = cur * torch.from_numpy(s)[None, :, None, None] + torch.from_numpy(b)[None, :, None, None]
+        cur = TF.relu(cur)
+        outputs.append(cur)
+    cat = torch.cat(outputs, dim=1)
+    w, s, b = params["concat"]
+    agg = TF.conv2d(cat, torch.from_numpy(w))
+    agg = agg * torch.from_numpy(s)[None, :, None, None] + torch.from_numpy(b)[None, :, None, None]
+    agg = TF.relu(agg)
+    fw, fb = params["ese"]
+    pooled = agg.mean(dim=(2, 3), keepdim=True)
+    gate = TF.conv2d(pooled, torch.from_numpy(fw), torch.from_numpy(fb))
+    agg = agg * (TF.relu6(gate + 3.0) / 6.0)
+    if identity:
+        agg = agg + identity_feat
+    return agg.numpy()
+
+
+def test_osa_module_matches_torch_oracle():
+    rng = np.random.RandomState(0)
+    C, S, K = 16, 12, 3  # in_ch, stage_ch, layers
+    x = rng.randn(1, C, 8, 8).astype(np.float32)
+
+    mod = OSAModule(stage_ch=S, concat_ch=C, layer_per_block=K, identity=True,
+                    dtype=jnp.float32)
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    p = jax.tree.map(np.asarray, variables["params"])
+
+    torch_params = {}
+    for i in range(K):
+        lp = p[f"layer{i}"]
+        torch_params[f"layer{i}"] = (
+            np.transpose(lp["conv"]["kernel"], (3, 2, 0, 1)),
+            lp["norm"]["frozen_scale"], lp["norm"]["frozen_bias"],
+        )
+    torch_params["concat"] = (
+        np.transpose(p["concat"]["conv"]["kernel"], (3, 2, 0, 1)),
+        p["concat"]["norm"]["frozen_scale"], p["concat"]["norm"]["frozen_bias"],
+    )
+    torch_params["ese"] = (
+        np.transpose(p["ese"]["fc"]["kernel"], (3, 2, 0, 1)),
+        p["ese"]["fc"]["bias"],
+    )
+
+    ref = _np_osa_oracle(x, torch_params, K, identity=True)
+    got = mod.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    got = np.transpose(np.asarray(got), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_fpn_shapes_and_topdown():
+    fpn = FPN(in_strides=[8, 16, 32], out_channels=256, top_block="p6p7",
+              dtype=jnp.float32)
+    feats = [jnp.zeros((1, 64, 64, 512)), jnp.zeros((1, 32, 32, 768)),
+             jnp.zeros((1, 16, 16, 1024))]
+    params = fpn.init(jax.random.PRNGKey(0), feats)
+    out = fpn.apply(params, feats)
+    assert set(out.keys()) == {"p3", "p4", "p5", "p6", "p7"}
+    assert out["p3"].shape == (1, 64, 64, 256)
+    assert out["p5"].shape == (1, 16, 16, 256)
+    assert out["p6"].shape == (1, 8, 8, 256)
+    assert out["p7"].shape == (1, 4, 4, 256)
+
+
+def test_fpn_topdown_fusion_math():
+    """p4 output must equal conv3x3(lateral(c4) + upsample(lateral(c5)))."""
+    fpn = FPN(in_strides=[16, 32], out_channels=8, top_block=None, dtype=jnp.float32)
+    rng = np.random.RandomState(1)
+    c4 = jnp.asarray(rng.randn(1, 6, 6, 4).astype(np.float32))
+    c5 = jnp.asarray(rng.randn(1, 3, 3, 4).astype(np.float32))
+    params = fpn.init(jax.random.PRNGKey(0), [c4, c5])
+    out = fpn.apply(params, [c4, c5])
+    p = params["params"]
+
+    def conv(x, pp, pad):
+        return jax.lax.conv_general_dilated(
+            x, pp["kernel"], (1, 1), [(pad, pad)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + pp["bias"]
+
+    lat5 = conv(c5, p["fpn_lateral5"], 0)
+    lat4 = conv(c4, p["fpn_lateral4"], 0)
+    up = jnp.repeat(jnp.repeat(lat5, 2, axis=1), 2, axis=2)
+    expect_p4 = conv(lat4 + up, p["fpn_output4"], 1)
+    np.testing.assert_allclose(np.asarray(out["p4"]), np.asarray(expect_p4),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_mobilenetv2_shapes():
+    model = MobileNetV2(dtype=jnp.float32)
+    x = jnp.zeros((1, 224, 224, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert out["res2"].shape == (1, 56, 56, 24)
+    assert out["res3"].shape == (1, 28, 28, 32)
+    assert out["res4"].shape == (1, 14, 14, 96)
+    assert out["res5"].shape == (1, 7, 7, 320)

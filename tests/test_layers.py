@@ -170,9 +170,9 @@ def test_spatial_attention_matches_torch_composition():
     ref = (xt * torch.sigmoid(scale)).numpy()
 
     mod = SpatialAttention(dtype=jnp.float32)
-    params = {"params": {"conv": {"conv": {
+    params = {"params": {"conv": {
         "kernel": jnp.asarray(np.transpose(w, (2, 3, 1, 0))),
-    }}}}
+    }}}
     got = from_nhwc(mod.apply(params, to_nhwc(x)))
     np.testing.assert_allclose(got, ref, rtol=RTOL, atol=ATOL)
 
