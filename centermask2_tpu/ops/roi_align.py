@@ -1,0 +1,198 @@
+"""ROIAlign (V2 / aligned semantics) as a unified-gather XLA op.
+
+TPU-native replacement for the detectron2 CUDA ROIAlign the reference
+calls per level (reference: pooler.py:242-255, 343-365) and for the
+fixed-shape ``RoiExtractor`` device op (pooler.py:46-67).
+
+Design: instead of looping levels and scattering (the reference's
+``output[inds] = pooler(x_level, ...)``), all FPN levels are flattened and
+concatenated into one (S, C) table; each ROI's sample points are turned
+into *global* row indices offset by its assigned level's base — one gather
+serves every ROI at its own level, no per-level dispatch, no 3x redundant
+pooling. All shapes static: (R, out, out, C) for R padded ROIs.
+
+Bilinear tap semantics follow the CUDA kernel exactly: samples with
+y < -1 or y > H contribute zero; in-range coordinates clamp to
+[0, H-1] with taps at floor/floor+1.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _sample_coords(
+    boxes: jnp.ndarray,  # (R, 4) in image coords
+    scale: jnp.ndarray,  # (R,) spatial scale of each ROI's level
+    output_size: int,
+    sampling_ratio: int,
+    aligned: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Return (ys, xs): (R, P) sample coordinates in level-feature coords,
+    P = (output_size * sampling_ratio)^2, ordered (ph, iy, pw, ix)."""
+    offset = 0.5 if aligned else 0.0
+    x0 = boxes[:, 0] * scale - offset
+    y0 = boxes[:, 1] * scale - offset
+    x1 = boxes[:, 2] * scale - offset
+    y1 = boxes[:, 3] * scale - offset
+    roi_w = x1 - x0
+    roi_h = y1 - y0
+    if not aligned:  # legacy ROIAlign forces min size 1
+        roi_w = jnp.maximum(roi_w, 1.0)
+        roi_h = jnp.maximum(roi_h, 1.0)
+
+    s = sampling_ratio
+    n_pts = output_size * s
+    # position of each sample along one axis, in bin units
+    # cell ph, subsample iy -> y0 + (ph + (iy + .5)/s) * bin
+    grid = (jnp.arange(n_pts, dtype=jnp.float32) + 0.5) / s  # (n_pts,)
+    ys = y0[:, None] + grid[None, :] * (roi_h / output_size)[:, None]  # (R, n_pts)
+    xs = x0[:, None] + grid[None, :] * (roi_w / output_size)[:, None]
+    # full 2D grid: (R, n_pts, n_pts)
+    ys2 = jnp.broadcast_to(ys[:, :, None], (*ys.shape, n_pts))
+    xs2 = jnp.broadcast_to(xs[:, None, :], (*xs.shape[:1], n_pts, n_pts))
+    return ys2.reshape(ys.shape[0], -1), xs2.reshape(xs.shape[0], -1)
+
+
+def _bilinear_taps(ys, xs, height, width):
+    """CUDA-parity bilinear: returns (y_low, x_low, w1..w4 stacked, in_range).
+
+    height/width may be per-ROI arrays (broadcast against (R, P))."""
+    in_range = (ys >= -1.0) & (ys <= height) & (xs >= -1.0) & (xs <= width)
+    y = jnp.clip(ys, 0.0)
+    x = jnp.clip(xs, 0.0)
+    y_low = jnp.floor(y)
+    x_low = jnp.floor(x)
+    # if y_low >= H-1: y_low = y_high = H-1, y = y_low
+    y_low = jnp.minimum(y_low, height - 1)
+    x_low = jnp.minimum(x_low, width - 1)
+    y = jnp.minimum(y, height - 1)
+    x = jnp.minimum(x, width - 1)
+    ly = y - y_low
+    lx = x - x_low
+    hy, hx = 1.0 - ly, 1.0 - lx
+    w = jnp.stack([hy * hx, hy * lx, ly * hx, ly * lx], axis=-1)  # (R, P, 4)
+    w = w * in_range[..., None]
+    return y_low.astype(jnp.int32), x_low.astype(jnp.int32), w
+
+
+def roi_align(
+    features: jnp.ndarray,  # (H, W, C) one image, one level
+    boxes: jnp.ndarray,  # (R, 4) xyxy in image coords
+    spatial_scale: float,
+    output_size: int,
+    sampling_ratio: int = 2,
+    aligned: bool = True,
+) -> jnp.ndarray:
+    """Single-level ROIAlign -> (R, output_size, output_size, C)."""
+    H, W, C = features.shape
+    R = boxes.shape[0]
+    scale = jnp.full((R,), spatial_scale, jnp.float32)
+    ys, xs = _sample_coords(boxes.astype(jnp.float32), scale, output_size,
+                            sampling_ratio, aligned)
+    y_low, x_low, w = _bilinear_taps(ys, xs, float(H), float(W))
+    y_high = jnp.minimum(y_low + 1, H - 1)
+    x_high = jnp.minimum(x_low + 1, W - 1)
+
+    flat = features.reshape(H * W, C)
+    idx = jnp.stack(
+        [y_low * W + x_low, y_low * W + x_high,
+         y_high * W + x_low, y_high * W + x_high], axis=-1)  # (R, P, 4)
+    gathered = jnp.take(flat, idx.reshape(-1), axis=0).reshape(*idx.shape, C)
+    vals = jnp.sum(gathered * w[..., None].astype(gathered.dtype), axis=-2)  # (R, P, C)
+
+    s = sampling_ratio
+    o = output_size
+    vals = vals.reshape(R, o, s, o, s, C)
+    return vals.mean(axis=(2, 4))
+
+
+def multilevel_roi_align(
+    features: List[jnp.ndarray],  # per level: (N, Hl, Wl, C)
+    boxes: jnp.ndarray,  # (R, 4) xyxy image coords
+    batch_indices: jnp.ndarray,  # (R,) int
+    levels: jnp.ndarray,  # (R,) int in [0, L)
+    scales: Sequence[float],  # per level spatial scale (1/stride)
+    output_size: int,
+    sampling_ratio: int = 2,
+    aligned: bool = True,
+) -> jnp.ndarray:
+    """Multi-level ROIAlign via one unified gather -> (R, o, o, C).
+
+    Replaces the reference's per-level nonzero+scatter loop
+    (pooler.py:355-365) with level-offset global indices.
+    """
+    L = len(features)
+    C = features[0].shape[-1]
+    R = boxes.shape[0]
+
+    heights = jnp.array([f.shape[1] for f in features], jnp.float32)
+    widths = jnp.array([f.shape[2] for f in features], jnp.float32)
+    scales_arr = jnp.array(scales, jnp.float32)
+    sizes = [f.shape[1] * f.shape[2] * f.shape[0] for f in features]
+    bases = jnp.array([sum(sizes[:i]) for i in range(L)], jnp.int32)
+
+    flat = jnp.concatenate([f.reshape(-1, C) for f in features], axis=0)  # (S, C)
+
+    lv = jnp.clip(levels, 0, L - 1)
+    scale_r = jnp.take(scales_arr, lv)
+    h_r = jnp.take(heights, lv)
+    w_r = jnp.take(widths, lv)
+    # base row of (batch b, level l) block
+    hw_r = (h_r * w_r).astype(jnp.int32)
+    base_r = jnp.take(bases, lv) + batch_indices.astype(jnp.int32) * hw_r
+
+    ys, xs = _sample_coords(boxes.astype(jnp.float32), scale_r, output_size,
+                            sampling_ratio, aligned)
+    y_low, x_low, w = _bilinear_taps(ys, xs, h_r[:, None], w_r[:, None])
+    wi = w_r[:, None].astype(jnp.int32)
+    hi = h_r[:, None].astype(jnp.int32)
+    y_high = jnp.minimum(y_low + 1, hi - 1)
+    x_high = jnp.minimum(x_low + 1, wi - 1)
+
+    idx = jnp.stack(
+        [y_low * wi + x_low, y_low * wi + x_high,
+         y_high * wi + x_low, y_high * wi + x_high], axis=-1)
+    idx = idx + base_r[:, None, None]
+    gathered = jnp.take(flat, idx.reshape(-1), axis=0, mode="clip").reshape(*idx.shape, C)
+    vals = jnp.sum(gathered * w[..., None].astype(gathered.dtype), axis=-2)
+
+    s = sampling_ratio
+    o = output_size
+    vals = vals.reshape(R, o, s, o, s, C)
+    return vals.mean(axis=(2, 4))
+
+
+def assign_boxes_by_ratio(
+    box_areas: jnp.ndarray,
+    img_areas: jnp.ndarray,
+    min_level: int,
+    max_level: int,
+) -> jnp.ndarray:
+    """CenterMask adaptive ROI level assignment, Eqn (2)
+    (reference pooler.py:111-118): ceil(max - log2(img_area/box_area + eps)),
+    clamped. Returns 0-based level offsets."""
+    eps = jnp.finfo(jnp.float32).eps  # sys.float_info.epsilon analog
+    ratio = img_areas / jnp.maximum(box_areas, 1e-12)
+    lv = jnp.ceil(max_level - jnp.log2(ratio + 2.220446049250313e-16))
+    lv = jnp.clip(lv, min_level, max_level)
+    return lv.astype(jnp.int32) - min_level
+
+
+def assign_boxes_by_area(
+    box_areas: jnp.ndarray,
+    min_level: int,
+    max_level: int,
+    canonical_box_size: int = 224,
+    canonical_level: int = 4,
+) -> jnp.ndarray:
+    """FPN paper Eqn (1) assignment (reference pooler.py:121-152)."""
+    sizes = jnp.sqrt(jnp.maximum(box_areas, 0.0))
+    lv = jnp.floor(
+        canonical_level + jnp.log2(sizes / canonical_box_size + 2.220446049250313e-16)
+    )
+    lv = jnp.clip(lv, min_level, max_level)
+    return lv.astype(jnp.int32) - min_level

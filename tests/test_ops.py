@@ -1,0 +1,284 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as TF
+
+from centermask2_tpu.ops import (
+    batched_nms,
+    iou_loss,
+    masked_topk,
+    multilevel_roi_align,
+    nms_keep_mask,
+    nms_select,
+    nonzero_padded,
+    paste_masks,
+    roi_align,
+    sigmoid_focal_loss,
+    assign_boxes_by_ratio,
+)
+
+
+# ---------------------------------------------------------------- selection
+def test_masked_topk():
+    scores = jnp.array([0.1, 0.9, 0.5, 0.7])
+    mask = jnp.array([True, False, True, True])
+    idx, valid, vals = masked_topk(scores, mask, 3)
+    assert list(np.asarray(idx)[:2]) == [3, 2]
+    assert list(np.asarray(valid)) == [True, True, True]
+    idx, valid, _ = masked_topk(scores, jnp.array([False, False, True, False]), 3)
+    assert list(np.asarray(valid)) == [True, False, False]
+    assert int(idx[0]) == 2
+
+
+def test_nonzero_padded():
+    mask = jnp.array([False, True, False, True, True, False])
+    idx, valid = nonzero_padded(mask, 4)
+    assert list(np.asarray(idx)[:3]) == [1, 3, 4]
+    assert list(np.asarray(valid)) == [True, True, True, False]
+
+
+# ---------------------------------------------------------------- NMS
+def np_greedy_nms(boxes, scores, thr):
+    order = np.argsort(-scores)
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        for j in order:
+            if suppressed[j] or j == i or scores[j] > scores[i]:
+                continue
+            # iou
+            ix0 = max(boxes[i, 0], boxes[j, 0]); iy0 = max(boxes[i, 1], boxes[j, 1])
+            ix1 = min(boxes[i, 2], boxes[j, 2]); iy1 = min(boxes[i, 3], boxes[j, 3])
+            inter = max(ix1 - ix0, 0) * max(iy1 - iy0, 0)
+            a = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            b = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+            iou = inter / (a + b - inter) if a + b - inter > 0 else 0
+            if iou > thr:
+                suppressed[j] = True
+    return sorted(keep)
+
+
+def test_nms_matches_numpy_greedy():
+    rng = np.random.RandomState(0)
+    n = 64
+    boxes = rng.rand(n, 4).astype(np.float32) * 50
+    boxes[:, 2:] = boxes[:, :2] + 5 + boxes[:, 2:] * 0.5
+    scores = rng.rand(n).astype(np.float32)
+    ref = np_greedy_nms(boxes, scores, 0.5)
+    keep = nms_keep_mask(jnp.asarray(boxes), jnp.asarray(scores),
+                         jnp.ones(n, bool), 0.5)
+    got = sorted(np.nonzero(np.asarray(keep))[0].tolist())
+    assert got == ref
+
+
+def test_nms_respects_validity():
+    boxes = jnp.array([[0, 0, 10, 10], [0, 0, 10, 10], [20, 20, 30, 30]], jnp.float32)
+    scores = jnp.array([0.9, 0.8, 0.7])
+    # highest-score box invalid: must not suppress the second
+    keep = nms_keep_mask(boxes, scores, jnp.array([False, True, True]), 0.5)
+    assert list(np.asarray(keep)) == [False, True, True]
+
+
+def test_batched_nms_classwise():
+    # identical boxes, different classes: both kept
+    boxes = jnp.array([[0, 0, 10, 10], [0, 0, 10, 10]], jnp.float32)
+    scores = jnp.array([0.9, 0.8])
+    keep = batched_nms(boxes, scores, jnp.array([0, 1]), jnp.ones(2, bool), 0.5)
+    assert list(np.asarray(keep)) == [True, True]
+    keep = batched_nms(boxes, scores, jnp.array([1, 1]), jnp.ones(2, bool), 0.5)
+    assert list(np.asarray(keep)) == [True, False]
+
+
+def test_nms_select_ordering():
+    rng = np.random.RandomState(1)
+    n = 40
+    boxes = rng.rand(n, 4).astype(np.float32) * 100
+    boxes[:, 2:] = boxes[:, :2] + 3 + boxes[:, 2:] * 0.3
+    scores = rng.rand(n).astype(np.float32)
+    classes = rng.randint(0, 3, n)
+    idx, valid = nms_select(jnp.asarray(boxes), jnp.asarray(scores),
+                            jnp.asarray(classes), jnp.ones(n, bool), 0.5, 10)
+    idx, valid = np.asarray(idx), np.asarray(valid)
+    kept_scores = scores[idx[valid]]
+    assert np.all(np.diff(kept_scores) <= 0)  # descending
+
+
+# ---------------------------------------------------------------- losses
+def test_sigmoid_focal_loss_matches_torch_composition():
+    rng = np.random.RandomState(2)
+    logits = rng.randn(30, 80).astype(np.float32)
+    targets = (rng.rand(30, 80) > 0.9).astype(np.float32)
+    lt, tt = torch.from_numpy(logits), torch.from_numpy(targets)
+    p = torch.sigmoid(lt)
+    ce = TF.binary_cross_entropy_with_logits(lt, tt, reduction="none")
+    p_t = p * tt + (1 - p) * (1 - tt)
+    ref = (0.25 * tt + 0.75 * (1 - tt)) * ce * (1 - p_t) ** 2
+    got = sigmoid_focal_loss(jnp.asarray(logits), jnp.asarray(targets),
+                             alpha=0.25, gamma=2.0)
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_iou_loss_matches_reference_math():
+    rng = np.random.RandomState(3)
+    pred = np.abs(rng.randn(20, 4)).astype(np.float32) * 10
+    tgt = np.abs(rng.randn(20, 4)).astype(np.float32) * 10
+    w = rng.rand(20).astype(np.float32)
+
+    # oracle: reference layers/iou_loss.py math in numpy
+    pl, pt, pr, pb = pred.T
+    tl, tt_, tr, tb = tgt.T
+    t_area = (tl + tr) * (tt_ + tb)
+    p_area = (pl + pr) * (pt + pb)
+    w_i = np.minimum(pl, tl) + np.minimum(pr, tr)
+    h_i = np.minimum(pb, tb) + np.minimum(pt, tt_)
+    g_w = np.maximum(pl, tl) + np.maximum(pr, tr)
+    g_h = np.maximum(pb, tb) + np.maximum(pt, tt_)
+    ac = g_w * g_h
+    inter = w_i * h_i
+    union = t_area + p_area - inter
+    ious = (inter + 1.0) / (union + 1.0)
+    gious = ious - (ac - union) / ac
+    ref = ((1 - gious) * w).sum()
+
+    got = iou_loss(jnp.asarray(pred), jnp.asarray(tgt), jnp.asarray(w), "giou")
+    np.testing.assert_allclose(float(got), ref, rtol=1e-5)
+
+
+# ---------------------------------------------------------------- ROIAlign
+def np_roi_align(feat_hwc, boxes, scale, out_size, sampling_ratio, aligned=True):
+    """Independent naive implementation of ROIAlignV2 (per CUDA spec)."""
+    H, W, C = feat_hwc.shape
+    R = len(boxes)
+    out = np.zeros((R, out_size, out_size, C), np.float32)
+    off = 0.5 if aligned else 0.0
+    for r, box in enumerate(boxes):
+        x0, y0, x1, y1 = box * scale - off
+        rw, rh = x1 - x0, y1 - y0
+        if not aligned:
+            rw, rh = max(rw, 1.0), max(rh, 1.0)
+        bw, bh = rw / out_size, rh / out_size
+        s = sampling_ratio
+        for ph in range(out_size):
+            for pw in range(out_size):
+                acc = np.zeros(C, np.float32)
+                for iy in range(s):
+                    for ix in range(s):
+                        y = y0 + ph * bh + (iy + 0.5) * bh / s
+                        x = x0 + pw * bw + (ix + 0.5) * bw / s
+                        if y < -1.0 or y > H or x < -1.0 or x > W:
+                            continue
+                        y, x = max(y, 0.0), max(x, 0.0)
+                        yl, xl = int(np.floor(y)), int(np.floor(x))
+                        if yl >= H - 1:
+                            yl = yh = H - 1
+                            y = float(yl)
+                        else:
+                            yh = yl + 1
+                        if xl >= W - 1:
+                            xl = xh = W - 1
+                            x = float(xl)
+                        else:
+                            xh = xl + 1
+                        ly, lx = y - yl, x - xl
+                        acc += (
+                            feat_hwc[yl, xl] * (1 - ly) * (1 - lx)
+                            + feat_hwc[yl, xh] * (1 - ly) * lx
+                            + feat_hwc[yh, xl] * ly * (1 - lx)
+                            + feat_hwc[yh, xh] * ly * lx
+                        )
+                out[r, ph, pw] = acc / (s * s)
+    return out
+
+
+def test_roi_align_matches_naive():
+    rng = np.random.RandomState(4)
+    feat = rng.randn(24, 32, 5).astype(np.float32)
+    boxes = np.array(
+        [[8, 8, 60, 40], [0, 0, 128, 96], [30.5, 10.2, 95.7, 80.1],
+         [120, 90, 127, 95], [-4, -4, 10, 10]], np.float32)
+    ref = np_roi_align(feat, boxes, 0.25, 7, 2, aligned=True)
+    got = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(boxes), 0.25, 7, 2))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_roi_align_unaligned_matches_naive():
+    rng = np.random.RandomState(5)
+    feat = rng.randn(16, 16, 3).astype(np.float32)
+    boxes = np.array([[4, 4, 40, 40], [10, 20, 50, 61]], np.float32)
+    ref = np_roi_align(feat, boxes, 0.25, 7, 2, aligned=False)
+    got = np.asarray(
+        roi_align(jnp.asarray(feat), jnp.asarray(boxes), 0.25, 7, 2, aligned=False))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_multilevel_roi_align_matches_single_level():
+    rng = np.random.RandomState(6)
+    C = 4
+    f0 = rng.randn(2, 32, 32, C).astype(np.float32)  # stride 8
+    f1 = rng.randn(2, 16, 16, C).astype(np.float32)  # stride 16
+    f2 = rng.randn(2, 8, 8, C).astype(np.float32)  # stride 32
+    boxes = np.array(
+        [[10, 10, 60, 60], [5, 5, 200, 200], [40, 80, 140, 180]], np.float32)
+    batch_idx = np.array([0, 1, 0])
+    levels = np.array([0, 2, 1])
+    scales = [1 / 8, 1 / 16, 1 / 32]
+    got = np.asarray(multilevel_roi_align(
+        [jnp.asarray(f0), jnp.asarray(f1), jnp.asarray(f2)],
+        jnp.asarray(boxes), jnp.asarray(batch_idx), jnp.asarray(levels),
+        scales, 7, 2))
+    feats = [f0, f1, f2]
+    for r in range(3):
+        ref = np_roi_align(feats[levels[r]][batch_idx[r]], boxes[r : r + 1],
+                           scales[levels[r]], 7, 2)
+        np.testing.assert_allclose(got[r], ref[0], rtol=1e-4, atol=1e-5)
+
+
+def test_assign_boxes_by_ratio():
+    # box area == img area -> log2(1)=0 -> ceil(max_level) = max_level
+    img_areas = jnp.array([1000.0, 1000.0, 1000.0])
+    box_areas = jnp.array([1000.0, 250.0, 15.0])
+    lv = assign_boxes_by_ratio(box_areas, img_areas, 3, 5)
+    # ratios 1, 4, ~66 -> levels 5, 3, 3 (clamped) -> offsets [2, 0, 0]
+    assert list(np.asarray(lv)) == [2, 0, 0]
+
+
+# ---------------------------------------------------------------- paste_masks
+def test_paste_masks_matches_torch_grid_sample():
+    rng = np.random.RandomState(7)
+    M = 28
+    masks = rng.rand(3, M, M).astype(np.float32)
+    boxes = np.array(
+        [[10.3, 15.7, 80.9, 90.2], [0, 0, 40, 40], [50, 60, 118, 118]], np.float32)
+    H = W = 120
+
+    got = np.asarray(paste_masks(jnp.asarray(masks), jnp.asarray(boxes),
+                                 (H, W), threshold=-1.0))
+
+    # oracle: torch grid_sample per ROI over the box's integer footprint
+    for r in range(3):
+        x0, y0, x1, y1 = boxes[r]
+        xi0, yi0 = int(np.floor(x0)), int(np.floor(y0))
+        xi1, yi1 = int(np.ceil(x1)), int(np.ceil(y1))
+        ys = (torch.arange(yi0, yi1, dtype=torch.float32) + 0.5 - y0) / (y1 - y0) * 2 - 1
+        xs = (torch.arange(xi0, xi1, dtype=torch.float32) + 0.5 - x0) / (x1 - x0) * 2 - 1
+        gy, gx = torch.meshgrid(ys, xs, indexing="ij")
+        grid = torch.stack([gx, gy], dim=-1)[None]
+        ref = TF.grid_sample(torch.from_numpy(masks[r])[None, None], grid,
+                             align_corners=False).numpy()[0, 0]
+        np.testing.assert_allclose(got[r, yi0:yi1, xi0:xi1], ref, rtol=1e-4, atol=1e-5)
+        # outside footprint must be exactly zero
+        outside = got[r].copy()
+        outside[yi0:yi1, xi0:xi1] = 0
+        assert np.abs(outside).max() == 0.0
+
+
+def test_paste_masks_threshold():
+    masks = jnp.ones((1, 28, 28)) * 0.9
+    out = paste_masks(masks, jnp.array([[2.0, 2.0, 10.0, 10.0]]), (16, 16), 0.5)
+    arr = np.asarray(out[0])
+    assert arr.dtype == bool
+    assert arr[5, 5] and not arr[0, 0] and not arr[14, 14]
