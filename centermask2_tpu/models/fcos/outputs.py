@@ -1,0 +1,150 @@
+"""FCOS decode (inference) with static shapes.
+
+Rebuilt from reference modeling/fcos/fcos_outputs.py:372-495:
+per-level sigmoid + score threshold + top-k (the reference's
+nonzero->topk export trick, here the native masked_topk), box decode
+loc +- reg*stride, score sqrt(cls*ctr), cross-level class-aware NMS,
+post-NMS top-k. Everything is (capacity, ...) buffers + validity masks;
+batch handled by vmap.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from centermask2_tpu.ops import masked_topk, nms_select
+
+
+def compute_locations_per_level(h: int, w: int, stride: int) -> jnp.ndarray:
+    """Pixel-center location grid, row-major (reference fcos.py:129-144):
+    (h*w, 2) of (x, y) = (col*stride, row*stride) + stride // 2."""
+    shift_x = jnp.arange(0, w * stride, stride, dtype=jnp.float32)
+    shift_y = jnp.arange(0, h * stride, stride, dtype=jnp.float32)
+    xs = jnp.tile(shift_x[None, :], (h, 1)).reshape(-1)
+    ys = jnp.tile(shift_y[:, None], (1, w)).reshape(-1)
+    return jnp.stack([xs, ys], axis=1) + stride // 2
+
+
+def compute_locations(
+    feature_shapes: Sequence[Tuple[int, int]], strides: Sequence[int]
+) -> List[jnp.ndarray]:
+    return [
+        compute_locations_per_level(h, w, s)
+        for (h, w), s in zip(feature_shapes, strides)
+    ]
+
+
+class DecodedProposals(NamedTuple):
+    """Fixed-capacity proposal buffers for one image (or batched with a
+    leading dim). The fields mirror the reference Instances fields."""
+
+    pred_boxes: jnp.ndarray  # (K, 4)
+    scores: jnp.ndarray  # (K,)
+    pred_classes: jnp.ndarray  # (K,) int32
+    locations: jnp.ndarray  # (K, 2)
+    valid: jnp.ndarray  # (K,) bool
+
+
+def decode_single_image(
+    locations: List[jnp.ndarray],  # per level (HW, 2)
+    logits: List[jnp.ndarray],  # per level (HW, C)
+    reg: List[jnp.ndarray],  # per level (HW, 4), stride-normalized
+    ctrness: List[jnp.ndarray],  # per level (HW,)
+    strides: Sequence[int],
+    pre_nms_thresh: float,
+    pre_nms_topk: int,
+    nms_thresh: float,
+    post_nms_topk: int,
+    nms_candidates: int = 1000,
+    thresh_with_ctr: bool = False,
+) -> DecodedProposals:
+    """Reference forward_for_single_feature_map + select_over_all_levels
+    (fcos_outputs.py:396-495), re-derived for fixed shapes."""
+    cand_boxes, cand_scores, cand_cls, cand_locs, cand_valid = [], [], [], [], []
+
+    for lvl, (locs, lg, rg, ct) in enumerate(zip(locations, logits, reg, ctrness)):
+        C = lg.shape[-1]
+        cls_sig = jax.nn.sigmoid(lg.astype(jnp.float32))  # (HW, C)
+        ctr_sig = jax.nn.sigmoid(ct.astype(jnp.float32)).reshape(-1)  # (HW,)
+
+        if thresh_with_ctr:
+            cls_sig = cls_sig * ctr_sig[:, None]
+        candidate_mask = cls_sig > pre_nms_thresh
+        if not thresh_with_ctr:
+            cls_sig = cls_sig * ctr_sig[:, None]
+
+        flat_scores = cls_sig.reshape(-1)  # (HW*C,)
+        flat_mask = candidate_mask.reshape(-1)
+        k = min(pre_nms_topk, flat_scores.shape[0])
+        idx, valid, vals = masked_topk(flat_scores, flat_mask, k)
+        loc_idx = idx // C
+        cls_idx = idx % C
+
+        per_locs = jnp.take(locs, loc_idx, axis=0)  # (k, 2)
+        per_reg = jnp.take(rg.astype(jnp.float32), loc_idx, axis=0) * strides[lvl]
+        boxes = jnp.stack(
+            [
+                per_locs[:, 0] - per_reg[:, 0],
+                per_locs[:, 1] - per_reg[:, 1],
+                per_locs[:, 0] + per_reg[:, 2],
+                per_locs[:, 1] + per_reg[:, 3],
+            ],
+            axis=1,
+        )
+        scores = jnp.sqrt(jnp.maximum(vals, 0.0))  # sqrt(cls*ctr), fcos_outputs.py:460
+
+        cand_boxes.append(boxes)
+        cand_scores.append(jnp.where(valid, scores, 0.0))
+        cand_cls.append(cls_idx.astype(jnp.int32))
+        cand_locs.append(per_locs)
+        cand_valid.append(valid)
+
+    boxes = jnp.concatenate(cand_boxes, 0)
+    scores = jnp.concatenate(cand_scores, 0)
+    classes = jnp.concatenate(cand_cls, 0)
+    locs = jnp.concatenate(cand_locs, 0)
+    valid = jnp.concatenate(cand_valid, 0)
+
+    # Cap the NMS working set (score-ranked); the exact-greedy NMS cost is
+    # quadratic in this capacity.
+    if boxes.shape[0] > nms_candidates:
+        idx, valid, _ = masked_topk(scores, valid, nms_candidates)
+        boxes = jnp.take(boxes, idx, axis=0)
+        scores = jnp.take(scores, idx, axis=0)
+        classes = jnp.take(classes, idx, axis=0)
+        locs = jnp.take(locs, idx, axis=0)
+
+    keep_idx, keep_valid = nms_select(boxes, scores, classes, valid,
+                                      nms_thresh, post_nms_topk)
+    return DecodedProposals(
+        pred_boxes=jnp.take(boxes, keep_idx, axis=0),
+        scores=jnp.where(keep_valid, jnp.take(scores, keep_idx), 0.0),
+        pred_classes=jnp.take(classes, keep_idx),
+        locations=jnp.take(locs, keep_idx, axis=0),
+        valid=keep_valid,
+    )
+
+
+def decode_batch(
+    locations: List[jnp.ndarray],
+    logits: List[jnp.ndarray],  # per level (B, Hl, Wl, C)
+    reg: List[jnp.ndarray],
+    ctrness: List[jnp.ndarray],
+    strides: Sequence[int],
+    **kwargs,
+) -> DecodedProposals:
+    """vmap decode over the batch; NHWC head outputs are flattened to
+    (B, HW, C) row-major, matching the location grids."""
+    B = logits[0].shape[0]
+    flat_logits = [x.reshape(B, -1, x.shape[-1]) for x in logits]
+    flat_reg = [x.reshape(B, -1, 4) for x in reg]
+    flat_ctr = [x.reshape(B, -1) for x in ctrness]
+
+    def one(lg, rg, ct):
+        return decode_single_image(locations, list(lg), list(rg), list(ct),
+                                   strides, **kwargs)
+
+    return jax.vmap(one)(flat_logits, flat_reg, flat_ctr)

@@ -1,0 +1,257 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from centermask2_tpu.models.fcos import (
+    FCOSHead,
+    assign_targets_single_image,
+    compute_ctrness_targets,
+    compute_locations_per_level,
+    decode_single_image,
+    fcos_losses,
+    level_metadata,
+)
+
+
+def test_locations_grid_matches_torch_semantics():
+    # torch: meshgrid of arange*stride + stride//2, x fastest (fcos.py:129-144)
+    locs = np.asarray(compute_locations_per_level(3, 4, 8))
+    assert locs.shape == (12, 2)
+    np.testing.assert_allclose(locs[0], [4, 4])
+    np.testing.assert_allclose(locs[1], [12, 4])  # x advances first
+    np.testing.assert_allclose(locs[4], [4, 12])
+    locs16 = np.asarray(compute_locations_per_level(2, 2, 16))
+    np.testing.assert_allclose(locs16[0], [8, 8])
+
+
+def test_fcos_head_shapes_and_sharing():
+    head = FCOSHead(num_classes=80, in_channels=64, num_levels=3, dtype=jnp.float32)
+    feats = [jnp.zeros((2, 16, 16, 64)), jnp.zeros((2, 8, 8, 64)),
+             jnp.zeros((2, 4, 4, 64))]
+    params = head.init(jax.random.PRNGKey(0), feats)
+    logits, reg, ctr = head.apply(params, feats)
+    assert logits[0].shape == (2, 16, 16, 80)
+    assert reg[1].shape == (2, 8, 8, 4)
+    assert ctr[2].shape == (2, 4, 4, 1)
+    # towers shared across levels: only one cls_tower in params
+    p = params["params"]
+    assert "cls_tower" in p and "bbox_tower" in p
+    assert "scale0" in p and "scale2" in p
+    # focal-loss bias init: cls_logits bias = -log((1-p)/p), p=0.01
+    np.testing.assert_allclose(
+        np.asarray(p["cls_logits"]["bias"])[0], -np.log(99.0), rtol=1e-5)
+    # reg output must be >= 0 (relu)
+    assert float(jnp.min(reg[0])) >= 0.0
+
+
+def _np_decode_oracle(locs, cls_sig, reg, ctr_sig, stride, thresh, nms_thr, topk):
+    """Reference decode semantics in numpy (single level, single image)."""
+    HW, C = cls_sig.shape
+    cand = cls_sig > thresh
+    scored = cls_sig * ctr_sig[:, None]
+    rows, cols = np.nonzero(cand)
+    boxes, scores, classes = [], [], []
+    for loc_i, cls_i in zip(rows, cols):
+        x, y = locs[loc_i]
+        l, t, r, b = reg[loc_i] * stride
+        boxes.append([x - l, y - t, x + r, y + b])
+        scores.append(np.sqrt(scored[loc_i, cls_i]))
+        classes.append(cls_i)
+    boxes = np.array(boxes).reshape(-1, 4)
+    scores = np.array(scores)
+    classes = np.array(classes)
+    # class-offset greedy NMS
+    if len(boxes):
+        offs = classes[:, None] * (boxes.max() + 1)
+        shifted = boxes + offs
+        order = np.argsort(-scores)
+        keep = []
+        sup = np.zeros(len(boxes), bool)
+        for i in order:
+            if sup[i]:
+                continue
+            keep.append(i)
+            for j in order:
+                if sup[j] or j == i:
+                    continue
+                bi, bj = shifted[i], shifted[j]
+                ix0, iy0 = max(bi[0], bj[0]), max(bi[1], bj[1])
+                ix1, iy1 = min(bi[2], bj[2]), min(bi[3], bj[3])
+                inter = max(ix1 - ix0, 0) * max(iy1 - iy0, 0)
+                a = (bi[2] - bi[0]) * (bi[3] - bi[1])
+                bb = (bj[2] - bj[0]) * (bj[3] - bj[1])
+                u = a + bb - inter
+                if u > 0 and inter / u > nms_thr:
+                    sup[j] = True
+        keep = sorted(keep, key=lambda i: -scores[i])[:topk]
+        return boxes[keep], scores[keep], classes[keep]
+    return boxes, scores, classes
+
+
+def test_decode_matches_numpy_oracle():
+    rng = np.random.RandomState(0)
+    H = W = 6
+    C = 5
+    stride = 8
+    locs = np.asarray(compute_locations_per_level(H, W, stride))
+    # logits mostly very negative, a few positives
+    logits = rng.randn(H * W, C).astype(np.float32) - 4.0
+    hot = rng.choice(H * W * C, 12, replace=False)
+    logits.reshape(-1)[hot] += 7.0
+    reg = np.abs(rng.randn(H * W, 4)).astype(np.float32) * 2
+    ctr = rng.randn(H * W).astype(np.float32)
+
+    cls_sig = 1 / (1 + np.exp(-logits))
+    ctr_sig = 1 / (1 + np.exp(-ctr))
+    ref_boxes, ref_scores, ref_classes = _np_decode_oracle(
+        locs, cls_sig, reg, ctr_sig, stride, 0.05, 0.6, 10)
+
+    out = decode_single_image(
+        [jnp.asarray(locs)], [jnp.asarray(logits)], [jnp.asarray(reg)],
+        [jnp.asarray(ctr)], [stride],
+        pre_nms_thresh=0.05, pre_nms_topk=50, nms_thresh=0.6,
+        post_nms_topk=10, nms_candidates=50)
+
+    n_valid = int(np.asarray(out.valid).sum())
+    assert n_valid == len(ref_scores)
+    np.testing.assert_allclose(np.asarray(out.scores)[:n_valid], ref_scores, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.pred_boxes)[:n_valid], ref_boxes,
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(out.pred_classes)[:n_valid], ref_classes)
+
+
+def _np_assign_oracle(locs, strides_per_loc, ranges, gt_boxes, gt_classes,
+                      num_classes, radius):
+    """Reference compute_targets_for_locations in numpy (center sampling)."""
+    L = len(locs)
+    G = len(gt_boxes)
+    labels = np.full(L, num_classes, np.int64)
+    regs = np.zeros((L, 4), np.float32)
+    if G == 0:
+        return labels, regs
+    areas = (gt_boxes[:, 2] - gt_boxes[:, 0]) * (gt_boxes[:, 3] - gt_boxes[:, 1])
+    for i in range(L):
+        x, y = locs[i]
+        best_area, best_g = np.inf, -1
+        for g in range(G):
+            x0, y0, x1, y1 = gt_boxes[g]
+            l, t, r, b = x - x0, y - y0, x1 - x, y1 - y
+            cx, cy = (x0 + x1) / 2, (y0 + y1) / 2
+            rad = strides_per_loc[i] * radius
+            sx0, sy0 = max(cx - rad, x0), max(cy - rad, y0)
+            sx1, sy1 = min(cx + rad, x1), min(cy + rad, y1)
+            inside = min(x - sx0, y - sy0, sx1 - x, sy1 - y) > 0
+            mx = max(l, t, r, b)
+            cared = ranges[i][0] <= mx <= ranges[i][1]
+            if inside and cared and areas[g] < best_area:
+                best_area, best_g = areas[g], g
+        if best_g >= 0:
+            x0, y0, x1, y1 = gt_boxes[best_g]
+            labels[i] = gt_classes[best_g]
+            regs[i] = [x - x0, y - y0, x1 - x, y1 - y]
+    return labels, regs
+
+
+def test_assignment_matches_numpy_oracle():
+    rng = np.random.RandomState(1)
+    locs_l0 = np.asarray(compute_locations_per_level(8, 8, 8))
+    locs_l1 = np.asarray(compute_locations_per_level(4, 4, 16))
+    locs = np.concatenate([locs_l0, locs_l1])
+    strides_per_loc, ranges = level_metadata([64, 16], [8, 16], [64, 128])
+    strides_np = np.asarray(strides_per_loc)
+    ranges_np = np.asarray(ranges)
+
+    gt_boxes = np.array([[4, 4, 40, 44], [20, 20, 120, 120], [2, 2, 10, 10]],
+                        np.float32)
+    gt_classes = np.array([3, 7, 1])
+
+    ref_labels, ref_regs = _np_assign_oracle(
+        locs, strides_np, ranges_np, gt_boxes, gt_classes, 80, 1.5)
+
+    labels, regs = assign_targets_single_image(
+        jnp.asarray(locs), strides_per_loc, ranges,
+        jnp.asarray(gt_boxes), jnp.asarray(gt_classes), jnp.ones(3, bool),
+        num_classes=80, center_sample=True, radius=1.5)
+
+    np.testing.assert_array_equal(np.asarray(labels), ref_labels)
+    # reg targets only matter on positive rows (loss masks the rest)
+    pos = ref_labels != 80
+    np.testing.assert_allclose(np.asarray(regs)[pos], ref_regs[pos], rtol=1e-5)
+
+    # padded gt must not match: mark the big box invalid
+    labels2, _ = assign_targets_single_image(
+        jnp.asarray(locs), strides_per_loc, ranges,
+        jnp.asarray(gt_boxes), jnp.asarray(gt_classes),
+        jnp.asarray([True, False, True]),
+        num_classes=80, center_sample=True, radius=1.5)
+    assert not np.any(np.asarray(labels2) == 7)
+
+
+def test_ctrness_targets():
+    reg = jnp.array([[2.0, 2.0, 2.0, 2.0], [1.0, 4.0, 4.0, 1.0]])
+    ctr = np.asarray(compute_ctrness_targets(reg))
+    np.testing.assert_allclose(ctr[0], 1.0, rtol=1e-6)
+    np.testing.assert_allclose(ctr[1], np.sqrt(0.25 * 0.25), rtol=1e-6)
+
+
+def test_fcos_losses_finite_and_masked():
+    rng = np.random.RandomState(2)
+    T, C = 100, 80
+    labels = np.full(T, C, np.int32)
+    labels[:10] = rng.randint(0, C, 10)
+    reg_targets = np.abs(rng.randn(T, 4)).astype(np.float32)
+    logits = rng.randn(T, C).astype(np.float32)
+    reg_pred = np.abs(rng.randn(T, 4)).astype(np.float32)
+    ctr_pred = rng.randn(T).astype(np.float32)
+
+    losses = fcos_losses(jnp.asarray(labels), jnp.asarray(reg_targets),
+                         jnp.asarray(logits), jnp.asarray(reg_pred),
+                         jnp.asarray(ctr_pred), num_classes=C)
+    for v in losses.values():
+        assert np.isfinite(float(v))
+
+    # no positives: loc/ctr losses zero, cls loss finite
+    losses0 = fcos_losses(jnp.full((T,), C, jnp.int32), jnp.asarray(reg_targets),
+                          jnp.asarray(logits), jnp.asarray(reg_pred),
+                          jnp.asarray(ctr_pred), num_classes=C)
+    assert float(losses0["loss_fcos_loc"]) == 0.0
+    assert float(losses0["loss_fcos_ctr"]) == 0.0
+    assert np.isfinite(float(losses0["loss_fcos_cls"]))
+
+
+def test_fcos_losses_psum_normalizers():
+    """Across a 2-device mesh, normalizers must be cross-replica means."""
+    import jax
+
+    devices = jax.devices()[:2]
+    if len(devices) < 2:
+        return
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    T, C = 64, 10
+    rng = np.random.RandomState(3)
+    labels = np.full((2, T), C, np.int32)
+    labels[0, :8] = 1  # device 0: 8 positives, device 1: none
+    reg_targets = np.abs(rng.randn(2, T, 4)).astype(np.float32) + 0.5
+    logits = rng.randn(2, T, C).astype(np.float32)
+    reg_pred = np.abs(rng.randn(2, T, 4)).astype(np.float32)
+    ctr_pred = rng.randn(2, T).astype(np.float32)
+
+    mesh = Mesh(np.array(devices), ("data",))
+
+    def per_device(lb, rt, lg, rp, cp):
+        out = fcos_losses(lb[0], rt[0], lg[0], rp[0], cp[0], num_classes=C,
+                          axis_name="data")
+        return jax.tree.map(lambda x: x[None], out)
+
+    f = shard_map(per_device, mesh=mesh,
+                  in_specs=(P("data"), P("data"), P("data"), P("data"), P("data")),
+                  out_specs=P("data"))
+    out = f(jnp.asarray(labels), jnp.asarray(reg_targets), jnp.asarray(logits),
+            jnp.asarray(reg_pred), jnp.asarray(ctr_pred))
+    # num_pos_avg = max(8/2, 1) = 4 on BOTH devices -> identical cls losses
+    # only if logits identical; instead verify the normalizer effect:
+    # device 1 (no positives) still has nonzero cls loss normalized by 4.
+    cls = np.asarray(out["loss_fcos_cls"])
+    assert np.isfinite(cls).all() and cls[1] > 0
