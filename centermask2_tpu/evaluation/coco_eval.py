@@ -1,0 +1,318 @@
+"""Self-contained COCO detection/segmentation evaluation.
+
+Reimplements the COCOeval protocol the reference uses through pycocotools
+(reference: evaluation/coco_evaluation.py:543-592) — per-category greedy
+matching at IoU thresholds 0.5:0.05:0.95, 101-point interpolated
+precision, area ranges, maxDets — plus the fork's defining twist: for
+segm evaluation, each instance's ``mask_score`` (MaskIoU-rescored)
+replaces its box ``score`` (coco_evaluation.py:551-563).
+
+No pycocotools dependency: IoU kernels come from the native RLE library
+(evaluation/rle.py -> native/maskapi.cpp).
+"""
+
+from __future__ import annotations
+
+import json
+from collections import defaultdict
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from . import rle as rle_lib
+
+IOU_THRS = np.linspace(0.5, 0.95, 10)
+REC_THRS = np.linspace(0.0, 1.0, 101)
+MAX_DETS = (1, 10, 100)
+AREA_RNG = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32.0**2),
+    "medium": (32.0**2, 96.0**2),
+    "large": (96.0**2, 1e10),
+}
+
+
+class COCOGt:
+    """Minimal COCO ground-truth container (from a COCO-format dict/json)."""
+
+    def __init__(self, dataset: Dict):
+        self.dataset = dataset
+        self.imgs = {im["id"]: im for im in dataset.get("images", [])}
+        self.cats = {c["id"]: c for c in dataset.get("categories", [])}
+        self.img_to_anns = defaultdict(list)
+        for ann in dataset.get("annotations", []):
+            self.img_to_anns[ann["image_id"]].append(ann)
+
+    @classmethod
+    def from_json(cls, path: str) -> "COCOGt":
+        with open(path) as f:
+            return cls(json.load(f))
+
+    def ann_rle(self, ann: Dict) -> rle_lib.RLE:
+        img = self.imgs[ann["image_id"]]
+        h, w = img["height"], img["width"]
+        seg = ann.get("segmentation")
+        if isinstance(seg, dict):
+            return rle_lib.from_coco(seg)
+        return rle_lib.polygons_to_rle(seg, h, w)
+
+
+def _match_image(
+    dts: List[Dict], gts: List[Dict], ious: np.ndarray,
+    area_rng, max_det: int,
+):
+    """COCOeval.evaluateImg for one (img, cat, areaRng, maxDet)."""
+    T = len(IOU_THRS)
+    gt_ignore = np.array(
+        [bool(g.get("iscrowd", 0)) or g["area"] < area_rng[0]
+         or g["area"] > area_rng[1] for g in gts], bool)
+    # gts sorted: non-ignored first
+    gt_order = np.argsort(gt_ignore, kind="stable")
+    gts_sorted = [gts[i] for i in gt_order]
+    gt_ig = gt_ignore[gt_order]
+
+    dt_order = np.argsort([-d["score"] for d in dts], kind="stable")[:max_det]
+    dts_sorted = [dts[i] for i in dt_order]
+
+    iou_m = ious[dt_order][:, gt_order] if len(dts) and len(gts) else \
+        np.zeros((len(dts_sorted), len(gts_sorted)))
+
+    D, G = len(dts_sorted), len(gts_sorted)
+    dt_matches = np.zeros((T, D), np.int64)
+    gt_matches = np.zeros((T, G), np.int64)
+    dt_ignore = np.zeros((T, D), bool)
+
+    for t, thr in enumerate(IOU_THRS):
+        for d in range(D):
+            best = min(thr, 1 - 1e-10)
+            m = -1
+            for g in range(G):
+                if gt_matches[t, g] > 0 and not gts_sorted[g].get("iscrowd", 0):
+                    continue
+                # stop at ignored gt if a real match was already found
+                if m > -1 and not gt_ig[m] and gt_ig[g]:
+                    break
+                if iou_m[d, g] < best:
+                    continue
+                best = iou_m[d, g]
+                m = g
+            if m == -1:
+                continue
+            dt_ignore[t, d] = gt_ig[m]
+            dt_matches[t, d] = gts_sorted[m]["id"]
+            gt_matches[t, m] = dts_sorted[d]["id"]
+
+    # unmatched dts outside area range are ignored
+    a = np.array([
+        d["area"] < area_rng[0] or d["area"] > area_rng[1]
+        for d in dts_sorted], bool)
+    dt_ignore = dt_ignore | ((dt_matches == 0) & a[None, :])
+
+    return {
+        "dt_scores": np.array([d["score"] for d in dts_sorted]),
+        "dt_matches": dt_matches,
+        "dt_ignore": dt_ignore,
+        "num_gt": int((~gt_ig).sum()),
+    }
+
+
+class COCOEval:
+    """COCOeval-compatible accumulate/summarize on (gt, detections)."""
+
+    def __init__(self, gt: COCOGt, iou_type: str = "bbox"):
+        assert iou_type in ("bbox", "segm")
+        self.gt = gt
+        self.iou_type = iou_type
+        self.img_ids = sorted(gt.imgs.keys())
+        self.cat_ids = sorted(gt.cats.keys())
+
+    def _dt_area(self, det: Dict) -> float:
+        if self.iou_type == "segm":
+            return float(rle_lib.area(rle_lib.from_coco(det["segmentation"])))
+        b = det["bbox"]
+        return float(b[2] * b[3])
+
+    def evaluate(self, detections: List[Dict]) -> Dict[str, float]:
+        """detections: COCO results list (bbox xywh and/or segmentation RLE
+        + score + category_id + image_id). Returns the standard metrics."""
+        dt_by_key = defaultdict(list)
+        next_id = 1
+        for det in detections:
+            det = dict(det)
+            det["id"] = next_id
+            next_id += 1
+            det["area"] = self._dt_area(det)
+            dt_by_key[(det["image_id"], det["category_id"])].append(det)
+
+        gt_by_key = defaultdict(list)
+        for img_id in self.img_ids:
+            for ann in self.gt.img_to_anns[img_id]:
+                gt_by_key[(img_id, ann["category_id"])].append(ann)
+
+        T, R = len(IOU_THRS), len(REC_THRS)
+        K, A, M = len(self.cat_ids), len(AREA_RNG), len(MAX_DETS)
+        precision = -np.ones((T, R, K, A, M))
+        recall = -np.ones((T, K, A, M))
+
+        area_items = list(AREA_RNG.items())
+        for k, cat in enumerate(self.cat_ids):
+            per_img = []
+            for img_id in self.img_ids:
+                dts = dt_by_key.get((img_id, cat), [])
+                gts = gt_by_key.get((img_id, cat), [])
+                if not dts and not gts:
+                    per_img.append(None)
+                    continue
+                ious = self._iou(dts, gts)
+                per_img.append((dts, gts, ious))
+
+            for a, (_, rng) in enumerate(area_items):
+                for m, max_det in enumerate(MAX_DETS):
+                    evals = [
+                        _match_image(dts, gts, ious, rng, max_det)
+                        for entry in per_img if entry is not None
+                        for (dts, gts, ious) in [entry]
+                    ]
+                    if not evals:
+                        continue
+                    scores = np.concatenate([e["dt_scores"] for e in evals])
+                    order = np.argsort(-scores, kind="mergesort")
+                    matches = np.concatenate(
+                        [e["dt_matches"] for e in evals], axis=1)[:, order]
+                    ignore = np.concatenate(
+                        [e["dt_ignore"] for e in evals], axis=1)[:, order]
+                    num_gt = sum(e["num_gt"] for e in evals)
+                    if num_gt == 0:
+                        continue
+                    tps = (matches > 0) & ~ignore
+                    fps = (matches == 0) & ~ignore
+                    tp_sum = np.cumsum(tps, axis=1).astype(float)
+                    fp_sum = np.cumsum(fps, axis=1).astype(float)
+                    for t in range(T):
+                        tp, fp = tp_sum[t], fp_sum[t]
+                        nd = len(tp)
+                        rc = tp / num_gt
+                        pr = tp / np.maximum(tp + fp, np.finfo(float).eps)
+                        recall[t, k, a, m] = rc[-1] if nd else 0
+                        # precision envelope (monotone decreasing)
+                        q = np.zeros(R)
+                        pr = pr.tolist()
+                        for i in range(nd - 1, 0, -1):
+                            if pr[i] > pr[i - 1]:
+                                pr[i - 1] = pr[i]
+                        inds = np.searchsorted(rc, REC_THRS, side="left")
+                        for ri, pi in enumerate(inds):
+                            if pi < nd:
+                                q[ri] = pr[pi]
+                        precision[t, :, k, a, m] = q
+
+        self.precision = precision
+        self.recall = recall
+        return self._summarize()
+
+    def _iou(self, dts: List[Dict], gts: List[Dict]) -> np.ndarray:
+        if not dts or not gts:
+            return np.zeros((len(dts), len(gts)))
+        crowd = [int(g.get("iscrowd", 0)) for g in gts]
+        # sort dts by score desc and cap at max maxDet (COCOeval.computeIoU)
+        dts = sorted(dts, key=lambda d: -d["score"])[: max(MAX_DETS)]
+        if self.iou_type == "bbox":
+            d = np.array([x["bbox"] for x in dts], np.float64)
+            g = np.array([x["bbox"] for x in gts], np.float64)
+            return rle_lib.bbox_iou(d, g, crowd)
+        d_rles = [rle_lib.from_coco(x["segmentation"]) for x in dts]
+        g_rles = [self.gt.ann_rle(x) for x in gts]
+        return rle_lib.iou(d_rles, g_rles, crowd)
+
+    def _summarize(self) -> Dict[str, float]:
+        def s_ap(iou_thr=None, area="all", max_det=100):
+            a = list(AREA_RNG.keys()).index(area)
+            m = MAX_DETS.index(max_det)
+            p = self.precision[:, :, :, a, m]
+            if iou_thr is not None:
+                t = np.where(np.isclose(IOU_THRS, iou_thr))[0]
+                p = p[t]
+            p = p[p > -1]
+            return float(np.mean(p)) * 100 if p.size else float("nan")
+
+        def s_ar(area="all", max_det=100):
+            a = list(AREA_RNG.keys()).index(area)
+            m = MAX_DETS.index(max_det)
+            r = self.recall[:, :, a, m]
+            r = r[r > -1]
+            return float(np.mean(r)) * 100 if r.size else float("nan")
+
+        return {
+            "AP": s_ap(),
+            "AP50": s_ap(0.5),
+            "AP75": s_ap(0.75),
+            "APs": s_ap(area="small"),
+            "APm": s_ap(area="medium"),
+            "APl": s_ap(area="large"),
+            "AR1": s_ar(max_det=1),
+            "AR10": s_ar(max_det=10),
+            "AR100": s_ar(max_det=100),
+        }
+
+
+class COCOEvaluator:
+    """The reference's mask-score-aware evaluator
+    (coco_evaluation.py:33-359): collects per-image predictions, converts
+    to COCO json records (instances_to_coco_json, :362-427 — including the
+    mask_score field), and evaluates bbox + segm, substituting mask_score
+    for score in segm scoring (:551-563)."""
+
+    def __init__(self, gt: COCOGt, tasks=("bbox", "segm"),
+                 category_id_map: Optional[Dict[int, int]] = None):
+        self.gt = gt
+        self.tasks = tasks
+        self.predictions: List[Dict] = []
+        # contiguous class index -> dataset category id
+        if category_id_map is None:
+            cat_ids = sorted(gt.cats.keys())
+            category_id_map = {i: cid for i, cid in enumerate(cat_ids)}
+        self.category_id_map = category_id_map
+
+    def reset(self):
+        self.predictions = []
+
+    def process(self, image_id: int, outputs: Dict[str, np.ndarray]):
+        """outputs: post-processed per-image dict with pred_boxes (xyxy),
+        scores, pred_classes, pred_masks (R, h, w) bool, mask_scores."""
+        boxes = np.asarray(outputs["pred_boxes"], np.float64)
+        if boxes.size == 0:
+            return
+        xywh = boxes.copy()
+        xywh[:, 2:] -= xywh[:, :2]
+        scores = np.asarray(outputs["scores"], np.float64)
+        classes = np.asarray(outputs["pred_classes"], np.int64)
+        mask_scores = np.asarray(
+            outputs.get("mask_scores", outputs["scores"]), np.float64)
+        masks = outputs.get("pred_masks")
+        for i in range(len(boxes)):
+            rec = {
+                "image_id": image_id,
+                "category_id": self.category_id_map[int(classes[i])],
+                "bbox": xywh[i].tolist(),
+                "score": float(scores[i]),
+                "mask_score": float(mask_scores[i]),
+            }
+            if masks is not None and "segm" in self.tasks:
+                rec["segmentation"] = rle_lib.to_coco(rle_lib.encode(masks[i]))
+            self.predictions.append(rec)
+
+    def evaluate(self) -> Dict[str, Dict[str, float]]:
+        results = {}
+        for task in self.tasks:
+            preds = []
+            for p in self.predictions:
+                q = dict(p)
+                if task == "segm":
+                    if "segmentation" not in q:
+                        continue
+                    # the fork's substitution: segm scored by mask_score
+                    q["score"] = q.get("mask_score", q["score"])
+                    q.pop("bbox", None)
+                preds.append(q)
+            results[task] = COCOEval(self.gt, task).evaluate(preds)
+        return results

@@ -251,7 +251,9 @@ def max_pool2d_ceil(
     out_w = -(-(w - kernel) // stride) + 1
     pad_h = max(0, (out_h - 1) * stride + kernel - h)
     pad_w = max(0, (out_w - 1) * stride + kernel - w)
-    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # -inf (not finfo.min): reduce_window_max only has a reverse-mode rule
+    # for the canonical -inf init value
+    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return jax.lax.reduce_window(
         x,
         neg,

@@ -1,0 +1,473 @@
+"""CenterMask meta-architecture: backbone -> FPN -> FCOS -> ROI heads.
+
+The TPU equivalent of the reference's export-mode GeneralizedRCNN
+(reference: modified_class.py:27-40): tensor in (padded NHWC batch),
+fixed-capacity tensors out, matching the 6-tensor contract
+(locations, mask_scores, pred_boxes, pred_classes, pred_masks, scores)
+of deploy_utils.py:117-126 plus an explicit validity mask.
+
+Training (`loss` method) reproduces the stock detectron2 training branch
+the reference relies on (SURVEY.md §3.4): FCOS losses + proposal
+sampling + mask/maskiou losses — re-derived in masked fixed-shape form.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from centermask2_tpu.config import CfgNode
+from centermask2_tpu.models.backbones import FPN, MobileNetV2, VoVNet
+from centermask2_tpu.models.backbones import vovnet as vovnet_lib
+from centermask2_tpu.models.fcos import (
+    FCOSHead,
+    assign_targets_single_image,
+    compute_locations,
+    decode_batch,
+    fcos_losses,
+    level_metadata,
+)
+from centermask2_tpu.models.roi import (
+    CenterROIHeads,
+    label_and_sample_proposals,
+    mask_iou_loss,
+)
+from centermask2_tpu.ops import masked_topk, roi_align
+
+
+class InferenceOutputs(NamedTuple):
+    """Batched fixed-capacity outputs; field order mirrors
+    single_flatten_to_tuple (deploy_utils.py:117-126)."""
+
+    locations: jnp.ndarray  # (B, K, 2)
+    mask_scores: jnp.ndarray  # (B, K)
+    pred_boxes: jnp.ndarray  # (B, K, 4)
+    pred_classes: jnp.ndarray  # (B, K) int32
+    pred_masks: jnp.ndarray  # (B, K, 1, 2M, 2M)
+    scores: jnp.ndarray  # (B, K)
+    valid: jnp.ndarray  # (B, K) bool
+
+
+class GroundTruth(NamedTuple):
+    """Padded per-batch training targets (host pipeline output)."""
+
+    boxes: jnp.ndarray  # (B, G, 4) xyxy in network input coords
+    classes: jnp.ndarray  # (B, G) int32
+    valid: jnp.ndarray  # (B, G) bool
+    mask_patches: jnp.ndarray  # (B, G, P, P) float {0,1}, rasterized on gt box
+
+
+class CenterMask(nn.Module):
+    # backbone
+    backbone_type: str = "vovnet"  # "vovnet" | "mobilenet"
+    conv_body: str = "V-39-eSE"
+    backbone_norm: str = "FrozenBN"
+    fpn_in_features: Sequence[str] = ("stage3", "stage4", "stage5")
+    fpn_out_channels: int = 256
+    fpn_norm: str = ""
+    fpn_fuse_type: str = "sum"
+    top_levels: int = 2
+    # fcos
+    num_classes: int = 80
+    fcos_in_features: Sequence[str] = ("p3", "p4", "p5", "p6", "p7")
+    fpn_strides: Sequence[int] = (8, 16, 32, 64, 128)
+    fcos_norm: str = "GN"
+    num_cls_convs: int = 4
+    num_box_convs: int = 4
+    num_share_convs: int = 0
+    use_scale: bool = True
+    prior_prob: float = 0.01
+    sizes_of_interest: Sequence[int] = (64, 128, 256, 512)
+    center_sample: bool = True
+    pos_radius: float = 1.5
+    loc_loss_type: str = "giou"
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    thresh_with_ctr: bool = False
+    # decode caps
+    pre_nms_thresh_test: float = 0.05
+    pre_nms_topk_test: int = 1000
+    post_nms_topk_test: int = 50
+    pre_nms_thresh_train: float = 0.05
+    pre_nms_topk_train: int = 1000
+    post_nms_topk_train: int = 100
+    nms_thresh: float = 0.6
+    nms_candidates: int = 1000
+    # roi
+    mask_on: bool = True
+    maskiou_on: bool = True
+    maskiou_loss_weight: float = 1.0
+    keypoint_on: bool = False
+    roi_in_features: Sequence[str] = ("p3", "p4", "p5")
+    roi_in_strides: Sequence[int] = (8, 16, 32)
+    assign_criterion: str = "ratio"
+    pooler_resolution: int = 14
+    mask_norm: str = ""
+    cls_agnostic_mask: bool = False
+    # training capacities
+    batch_size_per_image: int = 512
+    positive_fraction: float = 0.25
+    max_fg_proposals: int = 128
+    # compute
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        if self.backbone_type == "mobilenet":
+            self.backbone = MobileNetV2(
+                out_features=tuple(self.fpn_in_features), dtype=self.dtype)
+        else:
+            self.backbone = VoVNet(
+                body=self.conv_body, out_features=tuple(self.fpn_in_features),
+                norm=self.backbone_norm, dtype=self.dtype)
+        if self.backbone_type == "vovnet":
+            strides_map = vovnet_lib.FEATURE_STRIDES
+        else:
+            strides_map = {"res2": 4, "res3": 8, "res4": 16, "res5": 32}
+        in_strides = [strides_map[f] for f in self.fpn_in_features]
+        top_block = {2: "p6p7", 1: "p6", 0: None}[self.top_levels]
+        self.fpn = FPN(
+            in_strides=in_strides, out_channels=self.fpn_out_channels,
+            norm=self.fpn_norm, fuse_type=self.fpn_fuse_type,
+            top_block=top_block, dtype=self.dtype)
+        self.fcos_head = FCOSHead(
+            num_classes=self.num_classes, in_channels=self.fpn_out_channels,
+            num_cls_convs=self.num_cls_convs, num_box_convs=self.num_box_convs,
+            num_share_convs=self.num_share_convs, norm=self.fcos_norm,
+            num_levels=len(self.fcos_in_features), use_scale=self.use_scale,
+            prior_prob=self.prior_prob, dtype=self.dtype)
+        self.roi_heads = CenterROIHeads(
+            num_classes=self.num_classes, in_strides=tuple(self.roi_in_strides),
+            mask_on=self.mask_on, maskiou_on=self.maskiou_on,
+            keypoint_on=self.keypoint_on,
+            assign_criterion=self.assign_criterion,
+            pooler_resolution=self.pooler_resolution,
+            mask_norm=self.mask_norm, cls_agnostic_mask=self.cls_agnostic_mask,
+            dtype=self.dtype)
+
+    # ------------------------------------------------------------------
+    def features(self, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """images: (B, H, W, 3) already normalized+padded (BGR - mean)."""
+        bottom_up = self.backbone(images.astype(self.dtype))
+        feats = self.fpn([bottom_up[f] for f in self.fpn_in_features])
+        return feats
+
+    def _fcos_raw(self, feats):
+        fcos_feats = [feats[f] for f in self.fcos_in_features]
+        logits, reg, ctr = self.fcos_head(fcos_feats)
+        shapes = [(f.shape[1], f.shape[2]) for f in fcos_feats]
+        locations = compute_locations(shapes, self.fpn_strides)
+        return locations, logits, reg, ctr
+
+    def _decode(self, locations, logits, reg, ctr, training: bool):
+        return decode_batch(
+            locations, logits, reg, ctr, self.fpn_strides,
+            pre_nms_thresh=(self.pre_nms_thresh_train if training
+                            else self.pre_nms_thresh_test),
+            pre_nms_topk=(self.pre_nms_topk_train if training
+                          else self.pre_nms_topk_test),
+            nms_thresh=self.nms_thresh,
+            post_nms_topk=(self.post_nms_topk_train if training
+                           else self.post_nms_topk_test),
+            nms_candidates=self.nms_candidates,
+            thresh_with_ctr=self.thresh_with_ctr,
+        )
+
+    # ------------------------------------------------------------------
+    def __call__(self, images: jnp.ndarray,
+                 image_sizes: Optional[jnp.ndarray] = None) -> InferenceOutputs:
+        return self.inference(images, image_sizes)
+
+    def inference(self, images: jnp.ndarray,
+                  image_sizes: Optional[jnp.ndarray] = None) -> InferenceOutputs:
+        """Full inference to the 6-tensor contract. ``image_sizes``: (B, 2)
+        true (h, w) per image (defaults to the padded size, matching the
+        reference's FakeImageList deployment contract)."""
+        B, H, W, _ = images.shape
+        if image_sizes is None:
+            image_sizes = jnp.tile(jnp.array([[H, W]], jnp.float32), (B, 1))
+        feats = self.features(images)
+        locations, logits, reg, ctr = self._fcos_raw(feats)
+        proposals = self._decode(locations, logits, reg, ctr, training=False)
+
+        K = proposals.pred_boxes.shape[1]
+        flat_boxes = proposals.pred_boxes.reshape(B * K, 4)
+        flat_classes = proposals.pred_classes.reshape(B * K)
+        flat_valid = proposals.valid.reshape(B * K)
+        flat_scores = proposals.scores.reshape(B * K)
+        batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), K)
+        img_areas = jnp.repeat(image_sizes[:, 0] * image_sizes[:, 1], K)
+
+        roi_features = [feats[f] for f in self.roi_in_features]
+        if self.mask_on:
+            roi_out = self.roi_heads(
+                roi_features, flat_boxes, flat_classes, flat_valid,
+                batch_idx, img_areas.astype(jnp.float32), flat_scores)
+            masks = roi_out["pred_masks"]
+            m = masks.shape[-1]
+            pred_masks = masks.reshape(B, K, 1, m, m)
+            mask_scores = roi_out["mask_scores"].reshape(B, K)
+        else:
+            m = 2 * self.pooler_resolution
+            pred_masks = jnp.zeros((B, K, 1, m, m), jnp.float32)
+            mask_scores = proposals.scores
+
+        boxes_out = jnp.where(proposals.valid[..., None], proposals.pred_boxes, 0.0)
+        return InferenceOutputs(
+            locations=proposals.locations,
+            mask_scores=mask_scores,
+            pred_boxes=boxes_out,
+            pred_classes=proposals.pred_classes,
+            pred_masks=pred_masks,
+            scores=proposals.scores,
+            valid=proposals.valid,
+        )
+
+    # ------------------------------------------------------------------
+    def loss(self, images: jnp.ndarray, gt: GroundTruth,
+             rng: jax.Array, axis_name: Optional[str] = None
+             ) -> Dict[str, jnp.ndarray]:
+        """Training losses (FCOS + mask + maskiou)."""
+        B, H, W, _ = images.shape
+        feats = self.features(images)
+        locations, logits, reg, ctr = self._fcos_raw(feats)
+
+        # ---- FCOS losses: level-first flattening like the reference
+        num_locs = [loc.shape[0] for loc in locations]
+        strides_per_loc, ranges_per_loc = level_metadata(
+            num_locs, self.fpn_strides, self.sizes_of_interest)
+        locs_cat = jnp.concatenate(locations, axis=0)  # (L, 2)
+
+        def assign_one(gt_boxes, gt_classes, gt_valid):
+            return assign_targets_single_image(
+                locs_cat, strides_per_loc, ranges_per_loc,
+                gt_boxes, gt_classes, gt_valid, self.num_classes,
+                self.center_sample, self.pos_radius)
+
+        labels, reg_targets = jax.vmap(assign_one)(gt.boxes, gt.classes, gt.valid)
+        # normalize reg targets by per-location stride (fcos_outputs.py:229)
+        reg_targets = reg_targets / strides_per_loc[None, :, None]
+
+        flat_logits = jnp.concatenate(
+            [x.reshape(B, -1, self.num_classes) for x in logits], axis=1
+        ).reshape(-1, self.num_classes)
+        flat_reg = jnp.concatenate(
+            [x.reshape(B, -1, 4) for x in reg], axis=1).reshape(-1, 4)
+        flat_ctr = jnp.concatenate(
+            [x.reshape(B, -1) for x in ctr], axis=1).reshape(-1)
+
+        losses = fcos_losses(
+            labels.reshape(-1), reg_targets.reshape(-1, 4),
+            flat_logits, flat_reg, flat_ctr, self.num_classes,
+            self.focal_alpha, self.focal_gamma, self.loc_loss_type, axis_name)
+
+        if not self.mask_on:
+            return losses
+
+        # ---- proposals for ROI training (detached: the reference labels and
+        # samples proposals under no_grad, center_heads.py:178; boxes act as
+        # constants for the mask branch)
+        proposals = jax.lax.stop_gradient(
+            self._decode(locations, logits, reg, ctr, training=True))
+
+        rngs = jax.random.split(rng, B)
+
+        def sample_one(r, boxes, valid, gt_boxes, gt_classes, gt_valid):
+            return label_and_sample_proposals(
+                r, boxes, valid, gt_boxes, gt_classes, gt_valid,
+                self.num_classes, self.batch_size_per_image,
+                self.positive_fraction)
+
+        sampled = jax.vmap(sample_one)(
+            rngs, proposals.pred_boxes, proposals.valid,
+            gt.boxes, gt.classes, gt.valid)
+
+        # ---- foreground selection, capped at max_fg_proposals per image
+        F = self.max_fg_proposals
+        fg_mask = sampled.valid & (sampled.gt_classes != self.num_classes)
+
+        def take_fg(r):
+            idx, v, _ = masked_topk(r.astype(jnp.float32), r, F)
+            return idx, v
+
+        fg_idx, fg_valid = jax.vmap(take_fg)(fg_mask)
+        fg_boxes = jnp.take_along_axis(sampled.boxes, fg_idx[..., None], axis=1)
+        fg_classes = jnp.take_along_axis(sampled.gt_classes, fg_idx, axis=1)
+        fg_gt_idx = jnp.take_along_axis(sampled.gt_indices, fg_idx, axis=1)
+
+        flat_fg_boxes = fg_boxes.reshape(B * F, 4)
+        flat_fg_valid = fg_valid.reshape(B * F)
+        flat_fg_classes = jnp.clip(fg_classes.reshape(B * F), 0,
+                                   self.num_classes - 1)
+        batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), F)
+        img_areas = jnp.full((B * F,), float(H * W), jnp.float32)
+
+        roi_features = [feats[f] for f in self.roi_in_features]
+        pooled, mask_logits = self.roi_heads.mask_forward_train(
+            roi_features, flat_fg_boxes, batch_idx, img_areas)
+
+        # ---- mask targets from rasterized gt patches
+        gt_boxes_of_fg = jnp.take_along_axis(
+            gt.boxes, fg_gt_idx[..., None], axis=1).reshape(B * F, 4)
+        patch_dim = gt.mask_patches.shape[-1]
+        patches_of_fg = jnp.take_along_axis(
+            gt.mask_patches,
+            fg_gt_idx[..., None, None].astype(jnp.int32),
+            axis=1,
+        ).reshape(B * F, patch_dim, patch_dim)
+
+        m_side = 2 * self.pooler_resolution
+        gt_mask_targets = crop_and_resize_patches(
+            patches_of_fg, gt_boxes_of_fg, flat_fg_boxes, m_side)
+        gt_mask_bool = gt_mask_targets >= 0.5
+
+        # per-class logit selection (mask_head.py:121-127)
+        sel_logits = jnp.take_along_axis(
+            mask_logits.astype(jnp.float32),
+            flat_fg_classes[:, None, None, None], axis=-1)[..., 0]
+
+        from centermask2_tpu.ops import optax_sigmoid_bce
+
+        vmaskf = flat_fg_valid.astype(jnp.float32)[:, None, None]
+        n_el = jnp.maximum(jnp.sum(vmaskf) * m_side * m_side, 1.0)
+        mask_loss = jnp.sum(
+            optax_sigmoid_bce(sel_logits, gt_mask_bool.astype(jnp.float32))
+            * vmaskf) / n_el
+        losses["loss_mask"] = mask_loss
+
+        if self.maskiou_on:
+            # maskiou targets (mask_head.py:150-165): ratio-corrected IoU of
+            # binarized prediction vs full gt mask
+            pred_bin = sel_logits > 0.0
+            inter = jnp.sum((pred_bin & gt_mask_bool).astype(jnp.float32),
+                            axis=(1, 2))
+            # mask_ratios: |gt inside proposal| / |full gt|
+            full_area = jnp.sum(patches_of_fg, axis=(1, 2))
+            inside = _patch_fraction_inside(
+                patches_of_fg, gt_boxes_of_fg, flat_fg_boxes)
+            ratio = jnp.clip(inside / jnp.maximum(full_area, 1e-6), 0.0, 1.0)
+            ratio = jnp.maximum(ratio, 1e-10)
+            gt_area_28 = jnp.sum(gt_mask_bool.astype(jnp.float32), axis=(1, 2))
+            full_area_28 = gt_area_28 / ratio
+            union = jnp.sum(pred_bin.astype(jnp.float32), axis=(1, 2)) \
+                + full_area_28 - inter
+            maskiou_targets = inter / jnp.maximum(union, 1.0)
+
+            sel_mask = jax.nn.sigmoid(sel_logits)[..., None]
+            pred_maskiou = self.roi_heads.maskiou_forward(pooled, sel_mask)
+            losses["loss_maskiou"] = mask_iou_loss(
+                flat_fg_classes, pred_maskiou.astype(jnp.float32),
+                jax.lax.stop_gradient(maskiou_targets), flat_fg_valid,
+                self.maskiou_loss_weight)
+        return losses
+
+
+def crop_and_resize_patches(
+    patches: jnp.ndarray,  # (R, P, P) gt masks rasterized over gt boxes
+    gt_boxes: jnp.ndarray,  # (R, 4) the boxes the patches cover
+    proposal_boxes: jnp.ndarray,  # (R, 4)
+    out_size: int,
+) -> jnp.ndarray:
+    """Sample each gt patch at its proposal box -> (R, out, out) floats.
+
+    The TPU replacement for detectron2 crop_and_resize (polygon rasterize
+    per proposal, mask_head.py:91-93): masks are pre-rasterized once per gt
+    on the host, and proposal-box crops become bilinear resampling on
+    device.
+    """
+    P = patches.shape[-1]
+    gx0, gy0, gx1, gy1 = [gt_boxes[:, i] for i in range(4)]
+    sx = P / jnp.maximum(gx1 - gx0, 1e-6)
+    sy = P / jnp.maximum(gy1 - gy0, 1e-6)
+    # proposal box in patch coords
+    bx0 = (proposal_boxes[:, 0] - gx0) * sx
+    by0 = (proposal_boxes[:, 1] - gy0) * sy
+    bx1 = (proposal_boxes[:, 2] - gx0) * sx
+    by1 = (proposal_boxes[:, 3] - gy0) * sy
+    boxes_p = jnp.stack([bx0, by0, bx1, by1], axis=1)
+
+    def one(patch, box):
+        return roi_align(patch[:, :, None], box[None], 1.0, out_size,
+                         sampling_ratio=2, aligned=True)[0, :, :, 0]
+
+    return jax.vmap(one)(patches.astype(jnp.float32), boxes_p)
+
+
+def _patch_fraction_inside(patches, gt_boxes, proposal_boxes):
+    """Sum of patch mass whose cell centers fall inside the proposal box."""
+    R, P, _ = patches.shape
+    gx0, gy0, gx1, gy1 = [gt_boxes[:, i] for i in range(4)]
+    ys = (jnp.arange(P, dtype=jnp.float32) + 0.5) / P
+    xs = ys
+    cell_y = gy0[:, None] + ys[None, :] * (gy1 - gy0)[:, None]  # (R, P)
+    cell_x = gx0[:, None] + xs[None, :] * (gx1 - gx0)[:, None]
+    in_y = (cell_y >= proposal_boxes[:, 1:2]) & (cell_y <= proposal_boxes[:, 3:4])
+    in_x = (cell_x >= proposal_boxes[:, 0:1]) & (cell_x <= proposal_boxes[:, 2:3])
+    inside = in_y[:, :, None] & in_x[:, None, :]
+    return jnp.sum(patches * inside, axis=(1, 2))
+
+
+def build_centermask(cfg: CfgNode) -> CenterMask:
+    """Construct the model from a config (the registry-resolution analog of
+    detectron2 build_model for the reference's shipped configs)."""
+    backbone_name = cfg.MODEL.BACKBONE.NAME
+    if "mobilenet" in backbone_name or cfg.MODEL.MOBILENET:
+        backbone_type = "mobilenet"
+        fpn_in = tuple(cfg.MODEL.FPN.IN_FEATURES)
+    else:
+        backbone_type = "vovnet"
+        fpn_in = tuple(cfg.MODEL.FPN.IN_FEATURES) or ("stage3", "stage4", "stage5")
+
+    dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+    return CenterMask(
+        backbone_type=backbone_type,
+        conv_body=cfg.MODEL.VOVNET.CONV_BODY,
+        backbone_norm=cfg.MODEL.VOVNET.NORM,
+        fpn_in_features=fpn_in,
+        fpn_out_channels=cfg.MODEL.FPN.OUT_CHANNELS,
+        fpn_norm=cfg.MODEL.FPN.NORM,
+        fpn_fuse_type=cfg.MODEL.FPN.FUSE_TYPE,
+        top_levels=cfg.MODEL.FCOS.TOP_LEVELS,
+        num_classes=cfg.MODEL.FCOS.NUM_CLASSES,
+        fcos_in_features=tuple(cfg.MODEL.FCOS.IN_FEATURES),
+        fpn_strides=tuple(cfg.MODEL.FCOS.FPN_STRIDES),
+        fcos_norm=cfg.MODEL.FCOS.NORM,
+        num_cls_convs=cfg.MODEL.FCOS.NUM_CLS_CONVS,
+        num_box_convs=cfg.MODEL.FCOS.NUM_BOX_CONVS,
+        num_share_convs=cfg.MODEL.FCOS.NUM_SHARE_CONVS,
+        use_scale=cfg.MODEL.FCOS.USE_SCALE,
+        prior_prob=cfg.MODEL.FCOS.PRIOR_PROB,
+        sizes_of_interest=tuple(cfg.MODEL.FCOS.SIZES_OF_INTEREST),
+        center_sample=cfg.MODEL.FCOS.CENTER_SAMPLE,
+        pos_radius=cfg.MODEL.FCOS.POS_RADIUS,
+        loc_loss_type=cfg.MODEL.FCOS.LOC_LOSS_TYPE,
+        focal_alpha=cfg.MODEL.FCOS.LOSS_ALPHA,
+        focal_gamma=cfg.MODEL.FCOS.LOSS_GAMMA,
+        thresh_with_ctr=cfg.MODEL.FCOS.THRESH_WITH_CTR,
+        pre_nms_thresh_test=cfg.MODEL.FCOS.INFERENCE_TH_TEST,
+        pre_nms_topk_test=cfg.MODEL.FCOS.PRE_NMS_TOPK_TEST,
+        post_nms_topk_test=cfg.MODEL.FCOS.POST_NMS_TOPK_TEST,
+        pre_nms_thresh_train=cfg.MODEL.FCOS.INFERENCE_TH_TRAIN,
+        pre_nms_topk_train=cfg.MODEL.FCOS.PRE_NMS_TOPK_TRAIN,
+        post_nms_topk_train=cfg.MODEL.FCOS.POST_NMS_TOPK_TRAIN,
+        nms_thresh=cfg.MODEL.FCOS.NMS_TH,
+        nms_candidates=cfg.TPU.NMS_CANDIDATES,
+        mask_on=cfg.MODEL.MASK_ON,
+        maskiou_on=cfg.MODEL.MASKIOU_ON,
+        maskiou_loss_weight=cfg.MODEL.MASKIOU_LOSS_WEIGHT,
+        keypoint_on=cfg.MODEL.KEYPOINT_ON,
+        roi_in_features=tuple(cfg.MODEL.ROI_HEADS.IN_FEATURES),
+        roi_in_strides=tuple(
+            {"p2": 4, "p3": 8, "p4": 16, "p5": 32, "p6": 64}[f]
+            for f in cfg.MODEL.ROI_HEADS.IN_FEATURES),
+        assign_criterion=cfg.MODEL.ROI_MASK_HEAD.ASSIGN_CRITERION,
+        pooler_resolution=cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION,
+        mask_norm=cfg.MODEL.ROI_MASK_HEAD.NORM,
+        cls_agnostic_mask=cfg.MODEL.ROI_MASK_HEAD.CLS_AGNOSTIC_MASK,
+        batch_size_per_image=cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
+        positive_fraction=cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION,
+        max_fg_proposals=cfg.TPU.MAX_FG_PROPOSALS,
+        dtype=dtype,
+    )

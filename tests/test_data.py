@@ -1,0 +1,114 @@
+import os
+import tempfile
+
+import numpy as np
+
+from centermask2_tpu.data import (
+    FIXED_EDGE_SIZE,
+    bin_io,
+    compute_resize_shape,
+    detector_postprocess,
+    paste_masks_np,
+    postprocess_scale,
+    resize_shortest_edge,
+    single_preprocessing,
+    single_wrap_outputs,
+)
+
+
+def test_compute_resize_shape():
+    # shortest edge -> 800; max edge capped at 1333
+    assert compute_resize_shape(480, 640) == (800, 1067)
+    assert compute_resize_shape(640, 480) == (1067, 800)
+    assert compute_resize_shape(500, 1000) == (667, 1333)
+    assert compute_resize_shape(800, 800) == (800, 800)
+    # COCO canonical image 000000000139.jpg is 426x640 -> (800, 1202)
+    assert compute_resize_shape(426, 640) == (800, 1202)
+
+
+def test_resize_matches_pil_directly():
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (100, 150, 3), np.uint8)
+    out = resize_shortest_edge(img, short=50, max_size=100)
+    # 100x150 -> short 50 => (50, 75)
+    assert out.shape == (50, 75, 3)
+    ref = np.asarray(Image.fromarray(img).resize((75, 50), Image.BILINEAR))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_single_preprocessing_contract():
+    img = np.full((800, 1202, 3), 128.0, np.float32)
+    out = single_preprocessing(img)
+    assert out.shape == (FIXED_EDGE_SIZE, FIXED_EDGE_SIZE, 3)
+    np.testing.assert_allclose(out[0, 0], [128 - 103.53, 128 - 116.28, 128 - 123.675],
+                               rtol=1e-5)
+    assert np.all(out[800:] == 0) and np.all(out[:, 1202:] == 0)
+
+
+def test_postprocess_scale():
+    # matches deploy_utils.py:138-144 math
+    assert abs(postprocess_scale(426, 640) - 800 / 426) < 1e-9
+    s = postprocess_scale(500, 1000)
+    assert abs(s - (1333 / 1600) * 1.6) < 1e-9
+
+
+def test_bin_roundtrip():
+    rng = np.random.RandomState(1)
+    img = rng.randn(1344, 1344, 3).astype(np.float32)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "x.bin")
+        bin_io.write_input_bin(img, path)
+        # byte layout: NCHW float32 (reference to_bin)
+        raw = np.fromfile(path, np.float32)
+        assert raw.size == 3 * 1344 * 1344
+        back = bin_io.read_input_bin(path)
+        np.testing.assert_array_equal(back, img)
+
+        outs = [
+            rng.randn(50, 2).astype(np.float32),
+            rng.rand(50).astype(np.float32),
+            rng.rand(50, 4).astype(np.float32) * 100,
+            rng.randint(0, 80, 50).astype(np.int64),
+            rng.rand(50, 1, 28, 28).astype(np.float32),
+            rng.rand(50).astype(np.float32),
+        ]
+        prefix = os.path.join(d, "0001")
+        bin_io.write_output_bins(outs, prefix)
+        back = bin_io.read_output_bins(prefix)
+        for a, b in zip(outs, back):
+            np.testing.assert_array_equal(a, b.reshape(a.shape))
+        assert bin_io.read_output_bins(os.path.join(d, "missing")) is None
+
+
+def test_detector_postprocess():
+    rng = np.random.RandomState(2)
+    n = 5
+    results = single_wrap_outputs([
+        rng.rand(n, 2).astype(np.float32),
+        rng.rand(n).astype(np.float32),
+        np.array([[10, 10, 100, 100], [0, 0, 0, 0], [50, 50, 200, 220],
+                  [700, 700, 790, 795], [5, 5, 6, 6]], np.float32),
+        np.arange(n, dtype=np.int64),
+        rng.rand(n, 1, 28, 28).astype(np.float32),
+        np.linspace(0.9, 0.5, n).astype(np.float32),
+    ])
+    h, w = 426, 640  # original size; scale = 800/426
+    out = detector_postprocess(results, h, w)
+    scale = 800 / 426
+    # box 0 rescaled by 1/scale
+    np.testing.assert_allclose(out["pred_boxes"][0], np.array([10, 10, 100, 100]) / scale,
+                               rtol=1e-5)
+    # empty box dropped
+    assert len(out["pred_boxes"]) == 4
+    assert out["pred_masks"].shape == (4, h, w)
+    assert out["pred_masks"].dtype == bool
+
+
+def test_paste_masks_np_footprint():
+    masks = np.ones((1, 28, 28), np.float32)
+    out = paste_masks_np(masks, np.array([[10.0, 10.0, 20.0, 20.0]]), (30, 30))
+    assert out[0, 15, 15]
+    assert not out[0, 5, 5]
+    assert not out[0, 25, 25]

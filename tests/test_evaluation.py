@@ -1,0 +1,179 @@
+import numpy as np
+import pytest
+
+from centermask2_tpu.evaluation import COCOEval, COCOEvaluator, COCOGt, rle
+
+
+# ------------------------------------------------------------------ RLE
+def np_rle_encode(mask):
+    flat = np.asfortranarray(mask.astype(np.uint8)).reshape(-1, order="F")
+    counts = []
+    prev, run = 0, 0
+    for v in flat:
+        if v != prev:
+            counts.append(run)
+            run = 0
+            prev = v
+        run += 1
+    counts.append(run)
+    return counts
+
+
+def test_rle_roundtrip_and_area():
+    rng = np.random.RandomState(0)
+    mask = rng.rand(37, 53) > 0.6
+    r = rle.encode(mask)
+    assert r.counts.tolist() == np_rle_encode(mask)
+    back = rle.decode(r)
+    np.testing.assert_array_equal(back, mask)
+    assert rle.area(r) == int(mask.sum())
+
+
+def test_rle_string_roundtrip():
+    rng = np.random.RandomState(1)
+    mask = rng.rand(64, 48) > 0.5
+    r = rle.encode(mask)
+    s = rle.to_string(r)
+    r2 = rle.from_string(s, r.h, r.w)
+    np.testing.assert_array_equal(r2.counts, r.counts)
+    # known pycocotools vector: a simple 3x3 mask
+    m = np.zeros((3, 3), bool)
+    m[1, 1] = True
+    rr = rle.encode(m)
+    assert rr.counts.tolist() == [4, 1, 4]
+    assert rle.decode(rle.from_string(rle.to_string(rr), 3, 3)).sum() == 1
+
+
+def test_rle_iou_matches_mask_iou():
+    rng = np.random.RandomState(2)
+    masks_a = [rng.rand(40, 40) > 0.5 for _ in range(3)]
+    masks_b = [rng.rand(40, 40) > 0.5 for _ in range(2)]
+    got = rle.iou([rle.encode(m) for m in masks_a],
+                  [rle.encode(m) for m in masks_b])
+    for i, a in enumerate(masks_a):
+        for j, b in enumerate(masks_b):
+            inter = (a & b).sum()
+            union = (a | b).sum()
+            np.testing.assert_allclose(got[i, j], inter / union, rtol=1e-9)
+
+
+def test_rle_iou_crowd_semantics():
+    a = np.zeros((10, 10), bool); a[:5, :5] = True  # dt, area 25
+    b = np.zeros((10, 10), bool); b[:10, :5] = True  # gt crowd, area 50
+    got = rle.iou([rle.encode(a)], [rle.encode(b)], iscrowd=[1])
+    np.testing.assert_allclose(got[0, 0], 25 / 25)  # union = dt area
+    got = rle.iou([rle.encode(a)], [rle.encode(b)], iscrowd=[0])
+    np.testing.assert_allclose(got[0, 0], 25 / 50)
+
+
+def test_bbox_iou():
+    dt = np.array([[0, 0, 10, 10]])  # xywh
+    gt = np.array([[5, 0, 10, 10], [0, 0, 10, 10]])
+    got = rle.bbox_iou(dt, gt)
+    np.testing.assert_allclose(got[0, 0], 50 / 150)
+    np.testing.assert_allclose(got[0, 1], 1.0)
+
+
+def test_rle_merge():
+    a = np.zeros((8, 8), bool); a[:4] = True
+    b = np.zeros((8, 8), bool); b[2:6] = True
+    u = rle.decode(rle.merge([rle.encode(a), rle.encode(b)]))
+    np.testing.assert_array_equal(u, a | b)
+    i = rle.decode(rle.merge([rle.encode(a), rle.encode(b)], intersect=True))
+    np.testing.assert_array_equal(i, a & b)
+
+
+# ------------------------------------------------------------------ COCOEval
+def make_gt():
+    return COCOGt({
+        "images": [{"id": 1, "height": 100, "width": 100},
+                   {"id": 2, "height": 100, "width": 100}],
+        "categories": [{"id": 7, "name": "a"}, {"id": 9, "name": "b"}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 7, "iscrowd": 0,
+             "bbox": [10, 10, 30, 30], "area": 900,
+             "segmentation": [[10, 10, 40, 10, 40, 40, 10, 40]]},
+            {"id": 2, "image_id": 1, "category_id": 9, "iscrowd": 0,
+             "bbox": [50, 50, 20, 40], "area": 800,
+             "segmentation": [[50, 50, 70, 50, 70, 90, 50, 90]]},
+            {"id": 3, "image_id": 2, "category_id": 7, "iscrowd": 0,
+             "bbox": [0, 0, 50, 50], "area": 2500,
+             "segmentation": [[0, 0, 50, 0, 50, 50, 0, 50]]},
+        ],
+    })
+
+
+def test_perfect_predictions_ap100():
+    gt = make_gt()
+    dets = []
+    for img_id, anns in gt.img_to_anns.items():
+        for ann in anns:
+            dets.append({"image_id": img_id, "category_id": ann["category_id"],
+                         "bbox": list(ann["bbox"]), "score": 0.9})
+    res = COCOEval(gt, "bbox").evaluate(dets)
+    assert res["AP"] == pytest.approx(100.0)
+    assert res["AP50"] == pytest.approx(100.0)
+    assert res["AR100"] == pytest.approx(100.0)
+
+
+def test_missed_detection_lowers_ap():
+    gt = make_gt()
+    dets = [{"image_id": 1, "category_id": 7, "bbox": [10, 10, 30, 30],
+             "score": 0.9},
+            {"image_id": 1, "category_id": 9, "bbox": [50, 50, 20, 40],
+             "score": 0.9}]
+    # cat 7 misses image 2's gt entirely: per-cat AP = (100 * recall-clipped)
+    res = COCOEval(gt, "bbox").evaluate(dets)
+    # cat 7: recall 0.5 -> AP ~ 50.5 (101-pt interp); cat 9: 100
+    assert 70 < res["AP"] < 80
+    # false positive hurts precision
+    dets_fp = dets + [{"image_id": 2, "category_id": 9,
+                       "bbox": [0, 0, 5, 5], "score": 0.95}]
+    res_fp = COCOEval(gt, "bbox").evaluate(dets_fp)
+    assert res_fp["AP"] < res["AP"]
+
+
+def test_localization_quality_graded_by_iou():
+    gt = make_gt()
+    # box shifted by 8px: IoU = 660/1140 ~ 0.58 - counts at 0.5, not 0.75
+    dets = [{"image_id": 1, "category_id": 7, "bbox": [18, 10, 30, 30],
+             "score": 0.9},
+            {"image_id": 1, "category_id": 9, "bbox": [50, 50, 20, 40],
+             "score": 0.9},
+            {"image_id": 2, "category_id": 7, "bbox": [0, 0, 50, 50],
+             "score": 0.9}]
+    res = COCOEval(gt, "bbox").evaluate(dets)
+    assert res["AP50"] == pytest.approx(100.0)
+    assert res["AP75"] < res["AP50"]
+
+
+def test_segm_eval_and_mask_score_substitution():
+    gt = make_gt()
+    ev = COCOEvaluator(gt, tasks=("bbox", "segm"),
+                       category_id_map={0: 7, 1: 9})
+    # perfect masks, image 1
+    m1 = np.zeros((100, 100), bool); m1[10:40, 10:40] = True
+    m2 = np.zeros((100, 100), bool); m2[50:90, 50:70] = True
+    ev.process(1, {
+        "pred_boxes": np.array([[10, 10, 40, 40], [50, 50, 70, 90]], float),
+        "scores": np.array([0.9, 0.8]),
+        "mask_scores": np.array([0.85, 0.75]),
+        "pred_classes": np.array([0, 1]),
+        "pred_masks": np.stack([m1, m2]),
+    })
+    m3 = np.zeros((100, 100), bool); m3[0:50, 0:50] = True
+    ev.process(2, {
+        "pred_boxes": np.array([[0, 0, 50, 50]], float),
+        "scores": np.array([0.95]),
+        "mask_scores": np.array([0.9]),
+        "pred_classes": np.array([0]),
+        "pred_masks": np.stack([m3]),
+    })
+    res = ev.evaluate()
+    assert res["bbox"]["AP"] == pytest.approx(100.0)
+    # rasterization boundary conventions differ by <=1px from polygon gt
+    assert res["segm"]["AP"] > 85
+    # substitution effect: a low mask_score on a bad mask demotes it below
+    # a good detection in segm ranking
+    recs = [p for p in ev.predictions if p["image_id"] == 1]
+    assert all("mask_score" in p for p in recs)

@@ -1,0 +1,123 @@
+"""End-to-end smoke + contract tests on a tiny config (CPU-sized)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from centermask2_tpu.config import get_cfg
+from centermask2_tpu.models import CenterMask, GroundTruth, build_centermask
+
+
+def tiny_model(**overrides):
+    kwargs = dict(
+        conv_body="V-19-slim-eSE",
+        post_nms_topk_test=10,
+        pre_nms_topk_test=50,
+        nms_candidates=100,
+        post_nms_topk_train=20,
+        pre_nms_topk_train=50,
+        batch_size_per_image=32,
+        max_fg_proposals=8,
+        dtype=jnp.float32,
+    )
+    kwargs.update(overrides)
+    return CenterMask(**kwargs)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = tiny_model()
+    x = jnp.zeros((1, 128, 128, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    return model, params
+
+
+def test_inference_contract_shapes(model_and_params):
+    model, params = model_and_params
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 128, 128, 3) * 30)
+    out = model.apply(params, x)
+    K = 10
+    assert out.locations.shape == (1, K, 2)
+    assert out.mask_scores.shape == (1, K)
+    assert out.pred_boxes.shape == (1, K, 4)
+    assert out.pred_classes.shape == (1, K)
+    assert out.pred_masks.shape == (1, K, 1, 28, 28)
+    assert out.scores.shape == (1, K)
+    assert out.valid.shape == (1, K)
+    # masks are probabilities
+    assert float(jnp.min(out.pred_masks)) >= 0.0
+    assert float(jnp.max(out.pred_masks)) <= 1.0
+    # invalid slots have zero boxes and scores
+    inv = ~np.asarray(out.valid[0])
+    assert np.all(np.asarray(out.pred_boxes[0])[inv] == 0)
+
+
+def test_inference_jit_compiles(model_and_params):
+    model, params = model_and_params
+    f = jax.jit(lambda p, x: model.apply(p, x))
+    x = jnp.zeros((1, 128, 128, 3))
+    out = f(params, x)
+    out2 = f(params, x + 1.0)  # no recompile needed (same shapes)
+    assert out.scores.shape == out2.scores.shape
+
+
+def test_loss_path(model_and_params):
+    model, params = model_and_params
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 128, 128, 3).astype(np.float32) * 30)
+    G, P = 4, 32
+    gt = GroundTruth(
+        boxes=jnp.asarray([[[10, 10, 60, 60], [40, 30, 100, 90],
+                            [0, 0, 0, 0], [0, 0, 0, 0]],
+                           [[20, 20, 80, 100], [0, 0, 0, 0],
+                            [0, 0, 0, 0], [0, 0, 0, 0]]], jnp.float32),
+        classes=jnp.asarray([[2, 5, 0, 0], [7, 0, 0, 0]], jnp.int32),
+        valid=jnp.asarray([[True, True, False, False],
+                           [True, False, False, False]]),
+        mask_patches=jnp.asarray(
+            (rng.rand(2, G, P, P) > 0.5).astype(np.float32)),
+    )
+    losses = model.apply(params, x, gt, jax.random.PRNGKey(0),
+                         method=CenterMask.loss)
+    expected = {"loss_fcos_cls", "loss_fcos_loc", "loss_fcos_ctr",
+                "loss_mask", "loss_maskiou"}
+    assert set(losses.keys()) == expected
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_loss_gradients_finite(model_and_params):
+    model, params = model_and_params
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 128, 128, 3).astype(np.float32) * 10)
+    G, P = 2, 16
+    gt = GroundTruth(
+        boxes=jnp.asarray([[[16, 16, 90, 90], [0, 0, 0, 0]]], jnp.float32),
+        classes=jnp.asarray([[1, 0]], jnp.int32),
+        valid=jnp.asarray([[True, False]]),
+        mask_patches=jnp.ones((1, G, P, P), jnp.float32),
+    )
+
+    def total_loss(p):
+        losses = model.apply(p, x, gt, jax.random.PRNGKey(3),
+                             method=CenterMask.loss)
+        return sum(losses.values())
+
+    grads = jax.grad(total_loss)(params)
+    leaves = jax.tree.leaves(grads)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # at least some gradient must be nonzero
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_build_from_cfg():
+    cfg = get_cfg()
+    cfg.MODEL.MASK_ON = True
+    cfg.MODEL.MASKIOU_ON = True
+    cfg.MODEL.FPN.IN_FEATURES = ["stage3", "stage4", "stage5"]
+    cfg.MODEL.FCOS.POST_NMS_TOPK_TEST = 50
+    model = build_centermask(cfg)
+    assert model.conv_body == "V-39-eSE"
+    assert model.roi_in_strides == (8, 16, 32)
+    assert model.post_nms_topk_test == 50
