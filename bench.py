@@ -19,6 +19,8 @@ import numpy as np
 
 
 def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/root/.cache/jax_comp_cache")
     import jax
     import jax.numpy as jnp
 
@@ -36,17 +38,39 @@ def main():
     )
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(1, edge, edge, 3).astype(np.float32) * 30.0)
-    params = model.init(jax.random.PRNGKey(0), x)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
 
-    fn = jax.jit(lambda p, im: model.apply(p, im))
-    out = fn(params, x)
-    jax.block_until_ready(out)
+    # Timing: n model evaluations inside ONE jitted fori_loop, each on a
+    # distinct input (per-iteration scale) with outputs accumulated into
+    # the result. This defeats loop-invariant hoisting / algebraic folding
+    # (an epsilon-perturbation chain gets elided by XLA) and keeps
+    # compilation out of the timed region (n stays traced: one compile
+    # serves every n).
+    max_n = max(iters, 64)
+    weights = jnp.linspace(1.0, 1.01, max_n)
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(params, x)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    def chained(p, im, n):
+        def body(i, acc):
+            out = model.apply(p, im * weights[i])
+            return acc + out.scores
+
+        k = model.post_nms_topk_test
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((1, k), jnp.float32))
+
+    fn = jax.jit(chained)
+    jax.block_until_ready(fn(params, x, 1))  # compile + warm up
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(params, x, 1))
+        t_one = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(params, x, iters))
+        t_many = time.perf_counter() - t0
+        # subtract the fixed dispatch overhead measured by n=1
+        best = min(best, (t_many - t_one) / (iters - 1))
+    dt = max(best, 1e-9)
 
     ms = dt * 1000.0
     baseline_s = 0.050  # reference V100 inference time (README.md:171-173)

@@ -1,0 +1,192 @@
+"""COCO dataset loading for training and evaluation.
+
+Host-side pipeline replacing detectron2's dataloader as the reference
+uses it (build_detection_test_loader at tester.py:122; training mapper
+with ResizeShortestEdge multi-scale + flip per
+Base-CenterMask-VoVNet.yaml:34-35):
+
+- reads COCO-format json without pycocotools,
+- resizes (PIL bilinear, exact reference math), flips, normalizes, pads
+  to a fixed bucket,
+- emits fixed-capacity GroundTruth: padded boxes/classes/valid plus
+  per-instance mask patches rasterized once over each gt box (the
+  device-side crop_and_resize consumes these; models/meta.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import defaultdict
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .preprocess import (
+    PIXEL_MEAN,
+    PIXEL_STD,
+    compute_resize_shape,
+    read_image_bgr,
+)
+
+
+class CocoDataset:
+    def __init__(self, json_path: str, image_root: str,
+                 filter_empty: bool = True):
+        with open(json_path) as f:
+            self.dataset = json.load(f)
+        self.image_root = image_root
+        self.imgs = {im["id"]: im for im in self.dataset["images"]}
+        cat_ids = sorted(c["id"] for c in self.dataset.get("categories", []))
+        # dataset category id -> contiguous [0, C)
+        self.cat_to_contiguous = {cid: i for i, cid in enumerate(cat_ids)}
+        self.contiguous_to_cat = {i: cid for cid, i in self.cat_to_contiguous.items()}
+        anns = defaultdict(list)
+        for a in self.dataset.get("annotations", []):
+            if a.get("iscrowd", 0):
+                continue  # crowd regions are eval-only ignore regions
+            anns[a["image_id"]].append(a)
+        self.img_to_anns = anns
+        ids = sorted(self.imgs.keys())
+        if filter_empty:
+            ids = [i for i in ids if len(anns[i]) > 0]
+        self.ids = ids
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def image_path(self, img_id: int) -> str:
+        return os.path.join(self.image_root, self.imgs[img_id]["file_name"])
+
+
+def rasterize_polygons(polygons: List, h: int, w: int) -> np.ndarray:
+    import cv2
+
+    mask = np.zeros((h, w), np.uint8)
+    for p in polygons:
+        pts = np.asarray(p, np.float64).reshape(-1, 2)
+        cv2.fillPoly(mask, [np.round(pts).astype(np.int32)], 1)
+    return mask
+
+
+def mask_patch_from_polygons(
+    polygons: List, box: np.ndarray, patch_size: int
+) -> np.ndarray:
+    """Rasterize a gt instance into a (P, P) patch over its box frame."""
+    import cv2
+
+    x0, y0, x1, y1 = box
+    w = max(x1 - x0, 1e-3)
+    h = max(y1 - y0, 1e-3)
+    mask = np.zeros((patch_size, patch_size), np.uint8)
+    for p in polygons:
+        pts = np.asarray(p, np.float64).reshape(-1, 2).copy()
+        pts[:, 0] = (pts[:, 0] - x0) / w * patch_size
+        pts[:, 1] = (pts[:, 1] - y0) / h * patch_size
+        cv2.fillPoly(mask, [np.round(pts).astype(np.int32)], 1)
+    return mask.astype(np.float32)
+
+
+def load_train_example(
+    ds: CocoDataset,
+    img_id: int,
+    *,
+    short_edge: int,
+    max_size: int = 1333,
+    pad_to: Tuple[int, int],
+    max_gt: int = 100,
+    patch_size: int = 112,
+    hflip: bool = False,
+) -> Dict[str, np.ndarray]:
+    """One training example: resized/flipped/normalized image + padded GT."""
+    from PIL import Image
+
+    img = read_image_bgr(ds.image_path(img_id))
+    h, w = img.shape[:2]
+    newh, neww = compute_resize_shape(h, w, short_edge, max_size)
+    pil = Image.fromarray(img).resize((neww, newh), Image.BILINEAR)
+    img = np.asarray(pil).astype(np.float32)
+    sx, sy = neww / w, newh / h
+
+    if hflip:
+        img = img[:, ::-1].copy()
+
+    img = (img - PIXEL_MEAN) / PIXEL_STD
+    ph, pw = pad_to
+    padded = np.zeros((ph, pw, 3), np.float32)
+    padded[:newh, :neww] = img[:ph, :pw]
+
+    boxes = np.zeros((max_gt, 4), np.float32)
+    classes = np.zeros((max_gt,), np.int32)
+    valid = np.zeros((max_gt,), bool)
+    patches = np.zeros((max_gt, patch_size, patch_size), np.float32)
+
+    anns = ds.img_to_anns[img_id][:max_gt]
+    for i, ann in enumerate(anns):
+        x, y, bw, bh = ann["bbox"]
+        box = np.array([x * sx, y * sy, (x + bw) * sx, (y + bh) * sy],
+                       np.float32)
+        seg = ann.get("segmentation") or []
+        if hflip:
+            box = np.array([neww - box[2], box[1], neww - box[0], box[3]],
+                           np.float32)
+        if box[2] <= box[0] or box[3] <= box[1]:
+            continue
+        boxes[i] = box
+        classes[i] = ds.cat_to_contiguous[ann["category_id"]]
+        valid[i] = True
+        if seg and isinstance(seg, list):
+            scaled = []
+            for p in seg:
+                p = np.asarray(p, np.float64).reshape(-1, 2)
+                p = p * np.array([sx, sy])
+                if hflip:
+                    p[:, 0] = neww - p[:, 0]
+                scaled.append(p.reshape(-1))
+            patches[i] = mask_patch_from_polygons(scaled, boxes[i], patch_size)
+
+    return {
+        "image": padded,
+        "gt_boxes": boxes,
+        "gt_classes": classes,
+        "gt_valid": valid,
+        "gt_mask_patches": patches,
+        "image_size": np.array([newh, neww], np.int32),
+        "image_id": img_id,
+    }
+
+
+def train_batches(
+    ds: CocoDataset,
+    batch_size: int,
+    *,
+    min_sizes: Sequence[int] = (640, 672, 704, 736, 768, 800),
+    max_size: int = 1333,
+    pad_to: Tuple[int, int] = (1344, 1344),
+    max_gt: int = 100,
+    patch_size: int = 112,
+    seed: int = 0,
+    epochs: Optional[int] = None,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Infinite (or epochs-bounded) shuffled batch iterator with
+    multi-scale jitter + random horizontal flip (INPUT.MIN_SIZE_TRAIN)."""
+    rng = np.random.RandomState(seed)
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        order = rng.permutation(ds.ids)
+        for start in range(0, len(order) - batch_size + 1, batch_size):
+            examples = []
+            for img_id in order[start:start + batch_size]:
+                examples.append(load_train_example(
+                    ds, int(img_id),
+                    short_edge=int(rng.choice(min_sizes)),
+                    max_size=max_size, pad_to=pad_to, max_gt=max_gt,
+                    patch_size=patch_size, hflip=bool(rng.rand() < 0.5)))
+            batch = {
+                k: np.stack([e[k] for e in examples])
+                for k in ("image", "gt_boxes", "gt_classes", "gt_valid",
+                          "gt_mask_patches", "image_size")
+            }
+            batch["image_ids"] = [e["image_id"] for e in examples]
+            yield batch
+        epoch += 1

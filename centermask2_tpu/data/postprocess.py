@@ -67,11 +67,14 @@ def single_wrap_outputs(
 
 
 def detector_postprocess(
-    results: Dict[str, np.ndarray], h: int, w: int, mask_threshold: float = 0.5
+    results: Dict[str, np.ndarray], h: int, w: int, mask_threshold: float = 0.5,
+    short: int = None, max_size: int = None
 ) -> Dict[str, np.ndarray]:
     """Rescale to the original (h, w) and paste masks
     (reference deploy_utils.py:129-158)."""
-    scale = postprocess_scale(h, w)
+    from .preprocess import MIN_EDGE_SIZE
+    scale = postprocess_scale(h, w, short or MIN_EDGE_SIZE,
+                              max_size or MAX_EDGE_SIZE)
     inv = 1.0 / scale
 
     boxes = results["pred_boxes"].astype(np.float32) * inv

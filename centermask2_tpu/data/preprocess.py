@@ -79,29 +79,44 @@ def single_preprocessing(
     (reference deploy_utils.py:76-98). HWC in, HWC out."""
     img = (image_hwc.astype(np.float32) - PIXEL_MEAN) / PIXEL_STD
     h, w = img.shape[:2]
+    if h > fixed_size or w > fixed_size:
+        raise ValueError(
+            f"resized image ({h}x{w}) exceeds the padded canvas "
+            f"{fixed_size}x{fixed_size}; pick a TPU.FIXED_EDGE_SIZE >= the "
+            f"resize max edge (INPUT.MAX_SIZE_TEST rounded up to /32)")
     out = np.zeros((fixed_size, fixed_size, 3), np.float32)
     out[:h, :w] = img
     return out
 
 
-def preprocess_for_model(path: str, fixed_size: int = FIXED_EDGE_SIZE) -> Dict:
+def preprocess_for_model(
+    path: str,
+    fixed_size: int = FIXED_EDGE_SIZE,
+    short: int = MIN_EDGE_SIZE,
+    max_size: int = MAX_EDGE_SIZE,
+) -> Dict:
     """Full host pipeline for one image: returns the NHWC network input plus
     the metadata postprocessing needs."""
-    sample = get_sample_inputs(path)
-    padded = single_preprocessing(sample["image"], fixed_size)
+    original = read_image_bgr(path)
+    h, w = original.shape[:2]
+    image = resize_shortest_edge(original, short, max_size).astype(np.float32)
+    padded = single_preprocessing(image, fixed_size)
     return {
         "input": padded[None],  # (1, F, F, 3)
-        "resized_hw": sample["image"].shape[:2],
-        "original_hw": (sample["height"], sample["width"]),
+        "resized_hw": image.shape[:2],
+        "original_hw": (h, w),
+        "short": short,
+        "max_size": max_size,
     }
 
 
-def postprocess_scale(h: int, w: int) -> float:
+def postprocess_scale(h: int, w: int, short: int = MIN_EDGE_SIZE,
+                      max_size: int = MAX_EDGE_SIZE) -> float:
     """Recompute the resize scale from the original size
     (reference deploy_utils.py:138-144)."""
-    scale = MIN_EDGE_SIZE / min(h, w)
+    scale = short / min(h, w)
     new_h = int(np.floor(h * scale))
     new_w = int(np.floor(w * scale))
-    if max(new_h, new_w) > MAX_EDGE_SIZE:
-        scale = MAX_EDGE_SIZE / max(new_h, new_w) * scale
+    if max(new_h, new_w) > max_size:
+        scale = max_size / max(new_h, new_w) * scale
     return scale

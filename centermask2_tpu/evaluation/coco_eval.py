@@ -290,6 +290,11 @@ class COCOEvaluator:
             outputs.get("mask_scores", outputs["scores"]), np.float64)
         masks = outputs.get("pred_masks")
         for i in range(len(boxes)):
+            if int(classes[i]) not in self.category_id_map:
+                # predicted class has no dataset category (e.g. an 80-class
+                # model evaluated on a smaller-vocabulary dataset)
+                self.num_unmapped = getattr(self, "num_unmapped", 0) + 1
+                continue
             rec = {
                 "image_id": image_id,
                 "category_id": self.category_id_map[int(classes[i])],

@@ -1,0 +1,71 @@
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from centermask2_tpu.data.coco import (
+    CocoDataset,
+    load_train_example,
+    mask_patch_from_polygons,
+    train_batches,
+)
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    d = tmp_path_factory.mktemp("coco")
+    img_dir = d / "images"
+    os.makedirs(img_dir)
+    rng = np.random.RandomState(0)
+    images, anns = [], []
+    for i in [(1, 200, 300), (2, 160, 240)]:
+        img_id, h, w = i
+        Image.fromarray(rng.randint(0, 255, (h, w, 3), np.uint8)).save(
+            img_dir / f"{img_id}.jpg")
+        images.append({"id": img_id, "file_name": f"{img_id}.jpg",
+                       "height": h, "width": w})
+        anns.append({"id": len(anns) + 1, "image_id": img_id, "category_id": 5,
+                     "iscrowd": 0, "bbox": [10, 20, 50, 60], "area": 3000,
+                     "segmentation": [[10, 20, 60, 20, 60, 80, 10, 80]]})
+    ann_path = d / "ann.json"
+    with open(ann_path, "w") as f:
+        json.dump({"images": images, "annotations": anns,
+                   "categories": [{"id": 5, "name": "x"},
+                                  {"id": 9, "name": "y"}]}, f)
+    return CocoDataset(str(ann_path), str(img_dir))
+
+
+def test_dataset_basic(dataset):
+    assert len(dataset) == 2
+    assert dataset.cat_to_contiguous == {5: 0, 9: 1}
+
+
+def test_load_train_example(dataset):
+    ex = load_train_example(dataset, 1, short_edge=100, pad_to=(128, 160),
+                            max_gt=8, patch_size=32)
+    assert ex["image"].shape == (128, 160, 3)
+    assert ex["gt_boxes"].shape == (8, 4)
+    assert ex["gt_valid"].sum() == 1
+    # image 200x300, short 100 -> scale 0.5: box [10,20,60,80] -> [5,10,30,40]
+    np.testing.assert_allclose(ex["gt_boxes"][0], [5, 10, 30, 40], atol=1e-4)
+    assert ex["gt_classes"][0] == 0
+    # mask patch covers the full box (rectangle polygon ~ all ones)
+    assert ex["gt_mask_patches"][0].mean() > 0.9
+
+
+def test_hflip(dataset):
+    ex = load_train_example(dataset, 1, short_edge=100, pad_to=(128, 160),
+                            max_gt=8, patch_size=32, hflip=True)
+    # flipped box: x0' = W - x1 = 150 - 30 = 120
+    np.testing.assert_allclose(ex["gt_boxes"][0], [120, 10, 145, 40], atol=1e-4)
+
+
+def test_train_batches(dataset):
+    it = train_batches(dataset, 2, min_sizes=(100,), pad_to=(128, 160),
+                       max_gt=4, patch_size=16, epochs=1)
+    batch = next(it)
+    assert batch["image"].shape == (2, 128, 160, 3)
+    assert batch["gt_boxes"].shape == (2, 4, 4)
+    assert batch["gt_mask_patches"].shape == (2, 4, 16, 16)

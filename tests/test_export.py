@@ -1,0 +1,53 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from centermask2_tpu.models import CenterMask
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    model = CenterMask(
+        conv_body="V-19-slim-eSE", post_nms_topk_test=5, pre_nms_topk_test=20,
+        nms_candidates=20, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    return model, variables, x
+
+
+def test_aot_roundtrip(tiny, tmp_path):
+    from centermask2_tpu.export import export_serialized, load_serialized
+
+    model, variables, x = tiny
+    path = str(tmp_path / "model.jaxir")
+    export_serialized(model, variables, (1, 64, 64, 3), path)
+    assert os.path.getsize(path) > 1000
+
+    fn = load_serialized(path)
+    rng = np.random.RandomState(0)
+    xin = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32) * 20)
+    out_direct = model.apply(variables, xin)
+    out_loaded = fn(xin)
+    # same 6-tensor contract, numerically identical
+    np.testing.assert_allclose(np.asarray(out_direct.scores),
+                               np.asarray(out_loaded[5]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_direct.pred_boxes),
+                               np.asarray(out_loaded[2]), rtol=1e-5, atol=1e-4)
+
+
+def test_measures(tiny):
+    from centermask2_tpu.utils import count_params, summarize
+
+    model, variables, x = tiny
+    n = count_params(variables["params"])
+    assert n > 1e5
+
+    def fn(v, images):
+        return model.apply(v, images)
+
+    stats = summarize(fn, variables, x)
+    assert stats["flops"] > 1e8  # conv-dominated forward
+    assert stats["params"] == n

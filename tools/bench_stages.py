@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Per-stage latency breakdown of the inference pipeline on the local
+accelerator. Chained-dependency timing (see bench.py)."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+
+import numpy as np
+
+
+def timed(fn, x, iters=10):
+    """fn(x, n) with n traced (single compile, dynamic loop bound)."""
+    import jax
+
+    jax.block_until_ready(fn(x, 1))  # compile once
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn(x, 1))
+    t_one = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn(x, iters))
+    t_many = time.perf_counter() - t0
+    return (t_many - t_one) / (iters - 1)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from centermask2_tpu.models import CenterMask
+    from centermask2_tpu.models.fcos import compute_locations, decode_batch
+
+    edge = int(os.environ.get("BENCH_EDGE", "1344"))
+    model = CenterMask(conv_body="V-39-eSE", mask_on=True, maskiou_on=True,
+                       post_nms_topk_test=50, nms_candidates=1000)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, edge, edge, 3).astype(np.float32) * 30)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+
+    # stage 1: backbone + FPN
+    def feats_fn(im):
+        return model.apply(params, im, method=CenterMask.features)
+
+    weights = jnp.linspace(1.0, 1.01, 64)
+
+    def chain_feats(im, n):
+        def body(i, acc):
+            f = feats_fn(im * weights[i])
+            return acc + f["p7"][0, :1, 0, 0].astype(jnp.float32)
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((1,), jnp.float32))
+
+    t = timed(jax.jit(chain_feats), x)
+    print(f"backbone+fpn: {t * 1000:.2f} ms")
+
+    # stage 2: + FCOS head (raw)
+    def head_fn(im):
+        feats = model.apply(params, im, method=CenterMask.features)
+        locations, logits, reg, ctr = model.apply(
+            params, feats, method=CenterMask._fcos_raw)
+        return logits[0]
+
+    def chain_head(im, n):
+        def body(i, acc):
+            lg = head_fn(im * weights[i])
+            return acc + lg[0, :1, 0, 0].astype(jnp.float32)
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((1,), jnp.float32))
+
+    t = timed(jax.jit(chain_head), x)
+    print(f"+fcos head: {t * 1000:.2f} ms")
+
+    # stage 3: + decode (topk+nms)
+    def dec_fn(im):
+        feats = model.apply(params, im, method=CenterMask.features)
+        locations, logits, reg, ctr = model.apply(
+            params, feats, method=CenterMask._fcos_raw)
+        proposals = decode_batch(
+            locations, logits, reg, ctr, model.fpn_strides,
+            pre_nms_thresh=0.05, pre_nms_topk=1000, nms_thresh=0.6,
+            post_nms_topk=50, nms_candidates=1000)
+        return proposals.scores
+
+    def chain_dec(im, n):
+        def body(i, acc):
+            s = dec_fn(im * weights[i])
+            return acc + s[0, :1]
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((1,), jnp.float32))
+
+    t = timed(jax.jit(chain_dec), x)
+    print(f"+decode(topk+nms): {t * 1000:.2f} ms")
+
+    # stage 4: full
+    def full_fn(im):
+        return model.apply(params, im).scores
+
+    def chain_full(im, n):
+        def body(i, acc):
+            s = full_fn(im * weights[i])
+            return acc + s[0, :1]
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((1,), jnp.float32))
+
+    t = timed(jax.jit(chain_full), x)
+    print(f"full pipeline: {t * 1000:.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

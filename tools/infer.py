@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Inference + evaluation harness — the tester.py analog.
+
+Runs the TPU model over a COCO-format dataset, applies the reference's
+host postprocessing (rescale + paste masks), and evaluates bbox/segm AP
+with the built-in mask-score-aware evaluator
+(reference flow: tester.py:78-134).
+
+Usage:
+  python tools/infer.py --config-file configs/centermask/zy_model_config.yaml \
+      --ann instances_val2017.json --image-root val2017 \
+      [--weights model.pth|orbax_dir] [--limit N] [--output-dir out]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/root/.cache/jax_comp_cache")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config-file", default=None)
+    p.add_argument("--ann", required=True, help="COCO annotations json")
+    p.add_argument("--image-root", required=True)
+    p.add_argument("--weights", default=None)
+    p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--output-dir", default="output/infer")
+    p.add_argument("--tasks", default="bbox,segm")
+    p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    from centermask2_tpu.config import get_cfg
+    from centermask2_tpu.data import preprocess_for_model, single_wrap_outputs, \
+        detector_postprocess
+    from centermask2_tpu.data.coco import CocoDataset
+    from centermask2_tpu.evaluation import COCOEvaluator, COCOGt
+    from centermask2_tpu.models import build_centermask
+    from centermask2_tpu.checkpoint.convert_torch import (
+        convert_checkpoint, load_torch_checkpoint, merge_params)
+
+    cfg = get_cfg()
+    if args.config_file:
+        cfg.merge_from_file(args.config_file)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+
+    model = build_centermask(cfg)
+    fixed = cfg.TPU.FIXED_EDGE_SIZE
+    x0 = np.zeros((1, fixed, fixed, 3), np.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(x0))
+
+    if args.weights:
+        if args.weights.endswith(".pth"):
+            sd = load_torch_checkpoint(args.weights)
+            converted, _ = convert_checkpoint(sd, conv_body=cfg.MODEL.VOVNET.CONV_BODY)
+            params, missing = merge_params(
+                jax.tree.map(np.asarray, variables["params"]), converted)
+            if missing:
+                print(f"[warn] {len(missing)} params not found in checkpoint")
+            variables = {"params": jax.tree.map(jnp.asarray, params)}
+        else:
+            from centermask2_tpu.checkpoint.orbax_io import load_checkpoint
+            variables = load_checkpoint(args.weights, target=variables)
+
+    fn = jax.jit(lambda v, im: model.apply(v, im))
+
+    ds = CocoDataset(args.ann, args.image_root, filter_empty=False)
+    with open(args.ann) as f:
+        gt = COCOGt(json.load(f))
+    evaluator = COCOEvaluator(
+        gt, tasks=tuple(args.tasks.split(",")),
+        category_id_map=ds.contiguous_to_cat)
+
+    ids = ds.ids[: args.limit] if args.limit else ds.ids
+    total_time = 0.0
+    for n, img_id in enumerate(ids):
+        pre = preprocess_for_model(ds.image_path(img_id), fixed,
+                                   cfg.INPUT.MIN_SIZE_TEST,
+                                   cfg.INPUT.MAX_SIZE_TEST)
+        t0 = time.perf_counter()
+        out = fn(variables, jnp.asarray(pre["input"]))
+        out = jax.tree.map(np.asarray, out)
+        total_time += time.perf_counter() - t0
+
+        valid = out.valid[0]
+        tup = (out.locations[0][valid], out.mask_scores[0][valid],
+               out.pred_boxes[0][valid], out.pred_classes[0][valid],
+               out.pred_masks[0][valid], out.scores[0][valid])
+        wrapped = single_wrap_outputs(tup)
+        h, w = pre["original_hw"]
+        post = detector_postprocess(wrapped, h, w, short=pre["short"],
+                                    max_size=pre["max_size"])
+        evaluator.process(img_id, post)
+        if (n + 1) % 50 == 0:
+            print(f"[{n + 1}/{len(ids)}] {total_time / (n + 1) * 1000:.1f} ms/img")
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(os.path.join(args.output_dir, "coco_instances_results.json"), "w") as f:
+        json.dump(evaluator.predictions, f)
+
+    results = evaluator.evaluate()
+    for task, metrics in results.items():
+        print(f"== {task} ==")
+        print(", ".join(f"{k}={v:.2f}" for k, v in metrics.items()))
+    with open(os.path.join(args.output_dir, "metrics.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"avg inference: {total_time / max(len(ids), 1) * 1000:.1f} ms/img")
+
+
+if __name__ == "__main__":
+    main()

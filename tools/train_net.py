@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Training driver — the train_net analog the reference README invokes
+(README.md:287-290; the fork itself ships no trainer, SURVEY.md §0).
+
+Data-parallel over all local devices: batch sharded on a 1-D mesh, FCOS
+loss normalizers psum'd across replicas (the reference's
+dist.all_reduce), SGD momentum with warmup-multistep LR, Orbax
+checkpoints every SOLVER.CHECKPOINT_PERIOD.
+
+  python tools/train_net.py --config-file configs/centermask/zy_model_config.yaml \
+      --ann instances_train2017.json --image-root train2017 [--max-iter N]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/root/.cache/jax_comp_cache")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config-file", default=None)
+    p.add_argument("--ann", required=True)
+    p.add_argument("--image-root", required=True)
+    p.add_argument("--max-iter", type=int, default=0)
+    p.add_argument("--resume", default=None)
+    p.add_argument("--log-every", type=int, default=20)
+    p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from centermask2_tpu.config import get_cfg
+    from centermask2_tpu.data.coco import CocoDataset, train_batches
+    from centermask2_tpu.models import GroundTruth, build_centermask
+    from centermask2_tpu.parallel import make_mesh, shard_batch, replicate
+    from centermask2_tpu.train import (create_train_state, make_optimizer,
+                                       make_train_step)
+    from centermask2_tpu.checkpoint.orbax_io import (latest_checkpoint,
+                                                     load_checkpoint,
+                                                     save_checkpoint)
+
+    cfg = get_cfg()
+    if args.config_file:
+        cfg.merge_from_file(args.config_file)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+    max_iter = args.max_iter or cfg.SOLVER.MAX_ITER
+
+    model = build_centermask(cfg)
+    mesh = make_mesh()
+    n_dev = len(jax.devices())
+    batch_size = cfg.SOLVER.IMS_PER_BATCH
+    assert batch_size % n_dev == 0, (batch_size, n_dev)
+
+    fixed = cfg.TPU.FIXED_EDGE_SIZE
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, fixed, fixed, 3)))
+    optimizer = make_optimizer(
+        cfg.SOLVER.BASE_LR, tuple(cfg.SOLVER.STEPS),
+        momentum=cfg.SOLVER.MOMENTUM, weight_decay=cfg.SOLVER.WEIGHT_DECAY,
+        gamma=cfg.SOLVER.GAMMA, warmup_factor=cfg.SOLVER.WARMUP_FACTOR,
+        warmup_iters=cfg.SOLVER.WARMUP_ITERS,
+        clip_value=(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE
+                    if cfg.SOLVER.CLIP_GRADIENTS.ENABLED else 0.0))
+    state = create_train_state(params, optimizer)
+
+    out_dir = cfg.OUTPUT_DIR
+    os.makedirs(out_dir, exist_ok=True)
+    if args.resume:
+        path = args.resume if os.path.basename(args.resume).startswith("step_") \
+            else latest_checkpoint(args.resume)
+        if path:
+            state = load_checkpoint(path, target=state)
+            print(f"resumed from {path} at step {int(state.step)}")
+
+    state = replicate(state, mesh)
+    train_step = make_train_step(model, optimizer, mesh=mesh)
+
+    ds = CocoDataset(args.ann, args.image_root)
+    print(f"{len(ds)} training images, {n_dev} devices, batch {batch_size}")
+    batches = train_batches(
+        ds, batch_size,
+        min_sizes=tuple(cfg.INPUT.MIN_SIZE_TRAIN),
+        max_size=cfg.INPUT.MAX_SIZE_TRAIN,
+        pad_to=(fixed, fixed),
+        max_gt=cfg.TPU.MAX_GT_INSTANCES,
+        seed=max(cfg.SEED, 0))
+
+    start = int(jax.device_get(state.step))
+    rng = jax.random.PRNGKey(start)
+    t0 = time.perf_counter()
+    for it, batch in enumerate(batches, start=start):
+        if it >= max_iter:
+            break
+        gt = GroundTruth(
+            boxes=jnp.asarray(batch["gt_boxes"]),
+            classes=jnp.asarray(batch["gt_classes"]),
+            valid=jnp.asarray(batch["gt_valid"]),
+            mask_patches=jnp.asarray(batch["gt_mask_patches"]))
+        images = jnp.asarray(batch["image"])
+        images, gt = shard_batch((images, gt), mesh)
+        rng, step_rng = jax.random.split(rng)
+        state, metrics = train_step(state, images, gt, step_rng)
+
+        if (it + 1) % args.log_every == 0:
+            m = jax.tree.map(float, jax.device_get(metrics))
+            dt = (time.perf_counter() - t0) / args.log_every
+            t0 = time.perf_counter()
+            print(f"iter {it + 1}/{max_iter} "
+                  + " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items()))
+                  + f" ({dt:.2f} s/it)")
+        if (it + 1) % cfg.SOLVER.CHECKPOINT_PERIOD == 0 or (it + 1) == max_iter:
+            path = save_checkpoint(os.path.join(out_dir, "checkpoints"),
+                                   jax.device_get(state), it + 1)
+            print(f"saved {path}")
+
+
+if __name__ == "__main__":
+    main()
