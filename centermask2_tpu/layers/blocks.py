@@ -141,15 +141,16 @@ class GroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        # GN statistics in float32 regardless of compute dtype.
-        y = nn.GroupNorm(
+        # Keep data in the compute dtype (bf16): flax computes the moments
+        # in float32 internally, and staying bf16 halves the HBM traffic
+        # of the FCOS towers' 40 GN ops.
+        return nn.GroupNorm(
             num_groups=self.num_groups,
             epsilon=GN_EPS,
-            dtype=jnp.float32,
+            dtype=None,
             param_dtype=jnp.float32,
             name="gn",
-        )(x.astype(jnp.float32))
-        return y.astype(x.dtype)
+        )(x)
 
 
 def get_norm(norm: str, features: int, name: str = "norm") -> Optional[nn.Module]:

@@ -76,12 +76,22 @@ def decode_single_image(
         if not thresh_with_ctr:
             cls_sig = cls_sig * ctr_sig[:, None]
 
-        flat_scores = cls_sig.reshape(-1)  # (HW*C,)
-        flat_mask = candidate_mask.reshape(-1)
-        k = min(pre_nms_topk, flat_scores.shape[0])
-        idx, valid, vals = masked_topk(flat_scores, flat_mask, k)
-        loc_idx = idx // C
-        cls_idx = idx % C
+        k = min(pre_nms_topk, cls_sig.size)
+        # Exact top-k over (HW*C) in two stages: first rank locations by
+        # their best masked class score (a location contributing any
+        # global-top-k pair must be in the top-k locations by max — its
+        # max dominates that pair), then re-rank the survivors' full
+        # class rows. Cuts the big sort from HW*C to HW elements
+        # (80x for COCO), the decode hot spot on TPU.
+        masked_scores = jnp.where(candidate_mask, cls_sig, -1.0)  # (HW, C)
+        k_loc = min(k, masked_scores.shape[0])
+        loc_best = jnp.max(masked_scores, axis=1)  # (HW,)
+        _, top_locs = jax.lax.top_k(loc_best, k_loc)  # (k_loc,)
+        rows = jnp.take(masked_scores, top_locs, axis=0)  # (k_loc, C)
+        vals, flat_idx = jax.lax.top_k(rows.reshape(-1), k)
+        valid = vals > 0.0
+        loc_idx = jnp.take(top_locs, flat_idx // C)
+        cls_idx = flat_idx % C
 
         per_locs = jnp.take(locs, loc_idx, axis=0)  # (k, 2)
         per_reg = jnp.take(rg.astype(jnp.float32), loc_idx, axis=0) * strides[lvl]

@@ -21,31 +21,85 @@ import jax.numpy as jnp
 from centermask2_tpu.structures import boxes as box_ops
 
 
+def _greedy_fixpoint(sup_mat: jnp.ndarray, alive0: jnp.ndarray) -> jnp.ndarray:
+    """Exact greedy suppression over a score-sorted tile via fixpoint
+    iteration.
+
+    sup_mat[i, j] = True iff box i (earlier in score order) overlaps box j
+    beyond the threshold (strict upper triangle). Iterates
+    alive <- alive0 & ~any(sup_mat & alive[:, None]) until stable; the
+    unique fixpoint is the greedy keep set (j kept iff no kept i<j
+    overlaps it), reached in at most depth(suppression DAG) iterations —
+    typically a handful, vs one sequential step per box.
+    """
+    t = alive0.shape[0]
+
+    def cond(state):
+        it, alive, changed = state
+        return changed & (it <= t + 1)
+
+    def body(state):
+        it, alive, _ = state
+        sup = jnp.any(sup_mat & alive[:, None], axis=0)
+        new_alive = alive0 & ~sup
+        return it + 1, new_alive, jnp.any(new_alive != alive)
+
+    _, alive, _ = jax.lax.while_loop(cond, body, (0, alive0, jnp.asarray(True)))
+    return alive
+
+
 def nms_keep_mask(
-    boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_threshold: float,
+    tile: int = 128,
 ) -> jnp.ndarray:
     """Greedy NMS over (N, 4) boxes; returns kept mask (N,) bool.
 
-    Candidates are processed in descending score order. Invalid rows never
-    suppress and are never kept.
+    Exact greedy semantics (same keep set as the sequential CUDA/CPU
+    algorithm), evaluated tile-wise: boxes are score-sorted and processed
+    in tiles of ``tile``; each tile is first suppressed by already-kept
+    earlier boxes (one matrix op), then resolved internally by the
+    fixpoint iteration above. Sequential chain length drops from N to
+    ~N/tile outer steps (+ a few fixpoint steps each).
     """
     n = boxes.shape[0]
     order = jnp.argsort(-jnp.where(valid, scores, -jnp.inf))
     sboxes = jnp.take(boxes, order, axis=0)
     svalid = jnp.take(valid, order)
 
-    iou = box_ops.pairwise_iou(sboxes, sboxes)
-    idx = jnp.arange(n)
+    if n % tile != 0:
+        pad = tile - n % tile
+        sboxes = jnp.concatenate([sboxes, jnp.zeros((pad, 4), sboxes.dtype)])
+        svalid = jnp.concatenate([svalid, jnp.zeros((pad,), bool)])
+    np_ = sboxes.shape[0]
+    num_tiles = np_ // tile
 
-    def body(i, keep):
-        row = jax.lax.dynamic_slice_in_dim(iou, i, 1, axis=0)[0]
-        kept_i = keep[i]
-        sup = kept_i & (row > iou_threshold) & (idx > i)
-        return keep & ~sup
+    iou = box_ops.pairwise_iou(sboxes, sboxes)  # (np, np)
+    overlap = iou > iou_threshold
+    col = jnp.arange(np_)
 
-    keep_sorted = jax.lax.fori_loop(0, n, body, svalid)
-    # scatter back to original order
-    keep = jnp.zeros((n,), bool).at[order].set(keep_sorted)
+    def outer(t_idx, keep):
+        start = t_idx * tile
+        rows = jax.lax.dynamic_slice_in_dim(overlap, start, tile, axis=0)
+        # (tile, np): overlap of this tile's boxes onto everything
+        tile_valid = jax.lax.dynamic_slice_in_dim(svalid, start, tile)
+        # 1) suppression by kept boxes from earlier tiles
+        earlier_kept = keep & (col < start)
+        onto_tile = jax.lax.dynamic_slice_in_dim(
+            overlap.T, start, tile, axis=0)  # (tile, np): others onto tile
+        sup0 = jnp.any(onto_tile & earlier_kept[None, :], axis=1)
+        alive0 = tile_valid & ~sup0
+        # 2) within-tile greedy via fixpoint
+        intra = jax.lax.dynamic_slice(rows, (0, start), (tile, tile))
+        tri = jnp.tril(jnp.ones((tile, tile), bool), -1).T  # strict upper
+        alive = _greedy_fixpoint(intra & tri, alive0)
+        return jax.lax.dynamic_update_slice(keep, alive, (start,))
+
+    keep_sorted = jax.lax.fori_loop(0, num_tiles, outer, svalid)
+    # scatter back: sorted position i holds original row order[i]
+    keep = jnp.zeros((n,), bool).at[order].set(keep_sorted[:n])
     return keep
 
 

@@ -282,3 +282,34 @@ def test_paste_masks_threshold():
     arr = np.asarray(out[0])
     assert arr.dtype == bool
     assert arr[5, 5] and not arr[0, 0] and not arr[14, 14]
+
+
+def test_tiled_nms_matches_greedy_across_tiles():
+    """Stress the tiled fixpoint NMS across tile boundaries and deep
+    suppression chains (oracle: sequential greedy)."""
+    rng = np.random.RandomState(42)
+    n = 300  # crosses three tiles of 128
+    # dense cluster -> long suppression chains
+    centers = rng.rand(n, 2) * 30
+    sizes = 5 + rng.rand(n, 2) * 10
+    boxes = np.concatenate([centers, centers + sizes], axis=1).astype(np.float32)
+    scores = rng.rand(n).astype(np.float32)
+    valid = rng.rand(n) > 0.1
+    ref_keep = np.zeros(n, bool)
+    kept = np_greedy_nms(boxes[valid], scores[valid], 0.5)
+    ref_keep[np.nonzero(valid)[0][kept]] = True
+    got = np.asarray(nms_keep_mask(jnp.asarray(boxes), jnp.asarray(scores),
+                                   jnp.asarray(valid), 0.5))
+    np.testing.assert_array_equal(got, ref_keep)
+
+
+def test_tiled_nms_small_tile():
+    rng = np.random.RandomState(7)
+    n = 50
+    boxes = rng.rand(n, 4).astype(np.float32) * 40
+    boxes[:, 2:] = boxes[:, :2] + 4 + boxes[:, 2:] * 0.4
+    scores = rng.rand(n).astype(np.float32)
+    ref = np_greedy_nms(boxes, scores, 0.4)
+    got = nms_keep_mask(jnp.asarray(boxes), jnp.asarray(scores),
+                        jnp.ones(n, bool), 0.4, tile=16)
+    assert sorted(np.nonzero(np.asarray(got))[0].tolist()) == ref
