@@ -185,8 +185,9 @@ class eSEModule(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        # (N, H, W, C) -> (N, 1, 1, C)
-        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
+        # (N, H, W, C) -> (N, 1, 1, C); fp32 accumulation without
+        # materializing an fp32 copy of the (large) activation
+        pooled = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
         gate = nn.Conv(
             features=self.channels,
             kernel_size=(1, 1),

@@ -39,7 +39,7 @@ from centermask2_tpu.ops import masked_topk, roi_align
 
 
 class InferenceOutputs(NamedTuple):
-    """Batched fixed-capacity outputs; field order mirrors
+    """Batched fixed-capacity outputs; the first six fields mirror
     single_flatten_to_tuple (deploy_utils.py:117-126)."""
 
     locations: jnp.ndarray  # (B, K, 2)
@@ -49,6 +49,7 @@ class InferenceOutputs(NamedTuple):
     pred_masks: jnp.ndarray  # (B, K, 1, 2M, 2M)
     scores: jnp.ndarray  # (B, K)
     valid: jnp.ndarray  # (B, K) bool
+    pred_keypoints: Optional[jnp.ndarray] = None  # (B, K, 17, 3) if keypoint_on
 
 
 class GroundTruth(NamedTuple):
@@ -58,6 +59,7 @@ class GroundTruth(NamedTuple):
     classes: jnp.ndarray  # (B, G) int32
     valid: jnp.ndarray  # (B, G) bool
     mask_patches: jnp.ndarray  # (B, G, P, P) float {0,1}, rasterized on gt box
+    keypoints: Optional[jnp.ndarray] = None  # (B, G, 17, 3) x, y, vis
 
 
 class CenterMask(nn.Module):
@@ -214,6 +216,16 @@ class CenterMask(nn.Module):
             pred_masks = jnp.zeros((B, K, 1, m, m), jnp.float32)
             mask_scores = proposals.scores
 
+        pred_keypoints = None
+        if self.keypoint_on:
+            from centermask2_tpu.models.roi import keypoint_rcnn_inference
+
+            kp_logits = self.roi_heads.keypoint_forward(
+                roi_features, flat_boxes, batch_idx,
+                img_areas.astype(jnp.float32))
+            kp = keypoint_rcnn_inference(kp_logits, flat_boxes)
+            pred_keypoints = kp.reshape(B, K, -1, 3)
+
         boxes_out = jnp.where(proposals.valid[..., None], proposals.pred_boxes, 0.0)
         return InferenceOutputs(
             locations=proposals.locations,
@@ -223,6 +235,7 @@ class CenterMask(nn.Module):
             pred_masks=pred_masks,
             scores=proposals.scores,
             valid=proposals.valid,
+            pred_keypoints=pred_keypoints,
         )
 
     # ------------------------------------------------------------------
@@ -263,7 +276,7 @@ class CenterMask(nn.Module):
             flat_logits, flat_reg, flat_ctr, self.num_classes,
             self.focal_alpha, self.focal_gamma, self.loc_loss_type, axis_name)
 
-        if not self.mask_on:
+        if not (self.mask_on or self.keypoint_on):
             return losses
 
         # ---- proposals for ROI training (detached: the reference labels and
@@ -305,62 +318,84 @@ class CenterMask(nn.Module):
         img_areas = jnp.full((B * F,), float(H * W), jnp.float32)
 
         roi_features = [feats[f] for f in self.roi_in_features]
-        pooled, mask_logits = self.roi_heads.mask_forward_train(
-            roi_features, flat_fg_boxes, batch_idx, img_areas)
+        if not self.mask_on:
+            pooled = mask_logits = None
+        else:
+            pooled, mask_logits = self.roi_heads.mask_forward_train(
+                roi_features, flat_fg_boxes, batch_idx, img_areas)
 
-        # ---- mask targets from rasterized gt patches
-        gt_boxes_of_fg = jnp.take_along_axis(
-            gt.boxes, fg_gt_idx[..., None], axis=1).reshape(B * F, 4)
-        patch_dim = gt.mask_patches.shape[-1]
-        patches_of_fg = jnp.take_along_axis(
-            gt.mask_patches,
-            fg_gt_idx[..., None, None].astype(jnp.int32),
-            axis=1,
-        ).reshape(B * F, patch_dim, patch_dim)
+        if self.mask_on:
+            # ---- mask targets from rasterized gt patches
+            gt_boxes_of_fg = jnp.take_along_axis(
+                gt.boxes, fg_gt_idx[..., None], axis=1).reshape(B * F, 4)
+            patch_dim = gt.mask_patches.shape[-1]
+            patches_of_fg = jnp.take_along_axis(
+                gt.mask_patches,
+                fg_gt_idx[..., None, None].astype(jnp.int32),
+                axis=1,
+            ).reshape(B * F, patch_dim, patch_dim)
 
-        m_side = 2 * self.pooler_resolution
-        gt_mask_targets = crop_and_resize_patches(
-            patches_of_fg, gt_boxes_of_fg, flat_fg_boxes, m_side)
-        gt_mask_bool = gt_mask_targets >= 0.5
+            m_side = 2 * self.pooler_resolution
+            gt_mask_targets = crop_and_resize_patches(
+                patches_of_fg, gt_boxes_of_fg, flat_fg_boxes, m_side)
+            gt_mask_bool = gt_mask_targets >= 0.5
 
-        # per-class logit selection (mask_head.py:121-127)
-        sel_logits = jnp.take_along_axis(
-            mask_logits.astype(jnp.float32),
-            flat_fg_classes[:, None, None, None], axis=-1)[..., 0]
+            # per-class logit selection (mask_head.py:121-127)
+            sel_logits = jnp.take_along_axis(
+                mask_logits.astype(jnp.float32),
+                flat_fg_classes[:, None, None, None], axis=-1)[..., 0]
 
-        from centermask2_tpu.ops import optax_sigmoid_bce
+            from centermask2_tpu.ops import optax_sigmoid_bce
 
-        vmaskf = flat_fg_valid.astype(jnp.float32)[:, None, None]
-        n_el = jnp.maximum(jnp.sum(vmaskf) * m_side * m_side, 1.0)
-        mask_loss = jnp.sum(
-            optax_sigmoid_bce(sel_logits, gt_mask_bool.astype(jnp.float32))
-            * vmaskf) / n_el
-        losses["loss_mask"] = mask_loss
+            vmaskf = flat_fg_valid.astype(jnp.float32)[:, None, None]
+            n_el = jnp.maximum(jnp.sum(vmaskf) * m_side * m_side, 1.0)
+            mask_loss = jnp.sum(
+                optax_sigmoid_bce(sel_logits, gt_mask_bool.astype(jnp.float32))
+                * vmaskf) / n_el
+            losses["loss_mask"] = mask_loss
 
-        if self.maskiou_on:
-            # maskiou targets (mask_head.py:150-165): ratio-corrected IoU of
-            # binarized prediction vs full gt mask
-            pred_bin = sel_logits > 0.0
-            inter = jnp.sum((pred_bin & gt_mask_bool).astype(jnp.float32),
-                            axis=(1, 2))
-            # mask_ratios: |gt inside proposal| / |full gt|
-            full_area = jnp.sum(patches_of_fg, axis=(1, 2))
-            inside = _patch_fraction_inside(
-                patches_of_fg, gt_boxes_of_fg, flat_fg_boxes)
-            ratio = jnp.clip(inside / jnp.maximum(full_area, 1e-6), 0.0, 1.0)
-            ratio = jnp.maximum(ratio, 1e-10)
-            gt_area_28 = jnp.sum(gt_mask_bool.astype(jnp.float32), axis=(1, 2))
-            full_area_28 = gt_area_28 / ratio
-            union = jnp.sum(pred_bin.astype(jnp.float32), axis=(1, 2)) \
-                + full_area_28 - inter
-            maskiou_targets = inter / jnp.maximum(union, 1.0)
+            if self.maskiou_on:
+                # maskiou targets (mask_head.py:150-165): ratio-corrected IoU of
+                # binarized prediction vs full gt mask
+                pred_bin = sel_logits > 0.0
+                inter = jnp.sum((pred_bin & gt_mask_bool).astype(jnp.float32),
+                                axis=(1, 2))
+                # mask_ratios: |gt inside proposal| / |full gt|
+                full_area = jnp.sum(patches_of_fg, axis=(1, 2))
+                inside = _patch_fraction_inside(
+                    patches_of_fg, gt_boxes_of_fg, flat_fg_boxes)
+                ratio = jnp.clip(inside / jnp.maximum(full_area, 1e-6), 0.0, 1.0)
+                ratio = jnp.maximum(ratio, 1e-10)
+                gt_area_28 = jnp.sum(gt_mask_bool.astype(jnp.float32), axis=(1, 2))
+                full_area_28 = gt_area_28 / ratio
+                union = jnp.sum(pred_bin.astype(jnp.float32), axis=(1, 2)) \
+                    + full_area_28 - inter
+                maskiou_targets = inter / jnp.maximum(union, 1.0)
 
-            sel_mask = jax.nn.sigmoid(sel_logits)[..., None]
-            pred_maskiou = self.roi_heads.maskiou_forward(pooled, sel_mask)
-            losses["loss_maskiou"] = mask_iou_loss(
-                flat_fg_classes, pred_maskiou.astype(jnp.float32),
-                jax.lax.stop_gradient(maskiou_targets), flat_fg_valid,
-                self.maskiou_loss_weight)
+                sel_mask = jax.nn.sigmoid(sel_logits)[..., None]
+                pred_maskiou = self.roi_heads.maskiou_forward(pooled, sel_mask)
+                losses["loss_maskiou"] = mask_iou_loss(
+                    flat_fg_classes, pred_maskiou.astype(jnp.float32),
+                    jax.lax.stop_gradient(maskiou_targets), flat_fg_valid,
+                    self.maskiou_loss_weight)
+
+        if self.keypoint_on and gt.keypoints is not None:
+            from centermask2_tpu.models.roi.keypoint_head import (
+                keypoint_rcnn_loss,
+                keypoints_to_heatmap,
+            )
+
+            K = gt.keypoints.shape[2]
+            kp_of_fg = jnp.take_along_axis(
+                gt.keypoints, fg_gt_idx[..., None, None].astype(jnp.int32),
+                axis=1).reshape(B * F, K, 3)
+            kp_logits = self.roi_heads.keypoint_forward(
+                roi_features, flat_fg_boxes, batch_idx, img_areas)
+            S = kp_logits.shape[1]
+            heat_idx, kp_valid = keypoints_to_heatmap(kp_of_fg, flat_fg_boxes, S)
+            kp_valid = kp_valid & flat_fg_valid[:, None]
+            losses["loss_keypoint"] = keypoint_rcnn_loss(
+                kp_logits.astype(jnp.float32), heat_idx, kp_valid)
         return losses
 
 

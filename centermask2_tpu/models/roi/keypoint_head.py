@@ -74,6 +74,30 @@ def keypoint_rcnn_inference(
     return jnp.stack([x, y, score.astype(jnp.float32)], axis=-1)
 
 
+def keypoints_to_heatmap(
+    keypoints: jnp.ndarray,  # (R, K, 3) x, y, vis
+    boxes: jnp.ndarray,  # (R, 4)
+    heatmap_size: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """detectron2 Keypoints.to_heatmap math: per-ROI grid index of each
+    keypoint + validity (inside box and visible). Returns
+    (heatmap_index (R, K) int32, valid (R, K) bool)."""
+    S = heatmap_size
+    x0 = boxes[:, 0:1]
+    y0 = boxes[:, 1:2]
+    scale_x = S / jnp.maximum(boxes[:, 2:3] - x0, 1e-6)
+    scale_y = S / jnp.maximum(boxes[:, 3:4] - y0, 1e-6)
+
+    kx, ky, vis = keypoints[..., 0], keypoints[..., 1], keypoints[..., 2]
+    x = (kx - x0) * scale_x
+    y = (ky - y0) * scale_y
+    x_idx = jnp.clip(jnp.floor(x), 0, S - 1).astype(jnp.int32)
+    y_idx = jnp.clip(jnp.floor(y), 0, S - 1).astype(jnp.int32)
+    inside = (x >= 0) & (x < S) & (y >= 0) & (y < S)
+    valid = inside & (vis > 0)
+    return y_idx * S + x_idx, valid
+
+
 def keypoint_rcnn_loss(
     keypoint_logits: jnp.ndarray,  # (R, S, S, K)
     heatmap_targets: jnp.ndarray,  # (R, K) int flat index into S*S

@@ -134,6 +134,11 @@ def nms_select(
     """
     keep = batched_nms(boxes, scores, classes, valid, iou_threshold)
     kept_scores = jnp.where(keep, scores, -jnp.inf)
+    n = kept_scores.shape[0]
+    if max_out > n:  # fewer candidates than output slots: pad with dead rows
+        kept_scores = jnp.concatenate(
+            [kept_scores, jnp.full((max_out - n,), -jnp.inf)])
     top_scores, idx = jax.lax.top_k(kept_scores, max_out)
+    idx = jnp.minimum(idx, n - 1)
     out_valid = top_scores > -jnp.inf
     return idx, out_valid

@@ -121,3 +121,31 @@ def test_build_from_cfg():
     assert model.conv_body == "V-39-eSE"
     assert model.roi_in_strides == (8, 16, 32)
     assert model.post_nms_topk_test == 50
+
+
+def test_keypoint_branch():
+    """Keypoint head wired through inference and loss (KEYPOINT_ON)."""
+    model = tiny_model(keypoint_on=True, mask_on=False, maskiou_on=False)
+    x = jnp.zeros((1, 128, 128, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert out.pred_keypoints.shape == (1, 10, 17, 3)
+
+    rng = np.random.RandomState(5)
+    G, P = 2, 16
+    kps = np.zeros((1, G, 17, 3), np.float32)
+    kps[0, 0, :, 0] = np.linspace(20, 80, 17)  # x
+    kps[0, 0, :, 1] = np.linspace(20, 80, 17)  # y
+    kps[0, 0, :, 2] = 2  # visible
+    gt = GroundTruth(
+        boxes=jnp.asarray([[[16, 16, 90, 90], [0, 0, 0, 0]]], jnp.float32),
+        classes=jnp.asarray([[1, 0]], jnp.int32),
+        valid=jnp.asarray([[True, False]]),
+        mask_patches=jnp.ones((1, G, P, P), jnp.float32),
+        keypoints=jnp.asarray(kps),
+    )
+    losses = model.apply(params, jnp.asarray(rng.randn(1, 128, 128, 3) * 10,
+                                             jnp.float32),
+                         gt, jax.random.PRNGKey(1), method=CenterMask.loss)
+    assert "loss_keypoint" in losses
+    assert np.isfinite(float(losses["loss_keypoint"]))

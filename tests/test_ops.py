@@ -313,3 +313,25 @@ def test_tiled_nms_small_tile():
     got = nms_keep_mask(jnp.asarray(boxes), jnp.asarray(scores),
                         jnp.ones(n, bool), 0.4, tile=16)
     assert sorted(np.nonzero(np.asarray(got))[0].tolist()) == ref
+
+
+def test_pallas_roi_align_matches_xla(monkeypatch):
+    """Pallas kernel (interpret mode on CPU) vs the XLA reference impl."""
+    from centermask2_tpu.ops.roi_align_pallas import multilevel_roi_align_pallas
+
+    rng = np.random.RandomState(8)
+    C = 8
+    f0 = rng.randn(1, 16, 16, C).astype(np.float32)
+    f1 = rng.randn(1, 8, 8, C).astype(np.float32)
+    boxes = np.array([[8, 8, 60, 60], [4, 4, 100, 100]], np.float32)
+    batch_idx = np.array([0, 0])
+    levels = np.array([0, 1])
+    scales = [1 / 8, 1 / 16]
+    ref = np.asarray(multilevel_roi_align(
+        [jnp.asarray(f0), jnp.asarray(f1)], jnp.asarray(boxes),
+        jnp.asarray(batch_idx), jnp.asarray(levels), scales, 7, 2))
+    got = np.asarray(multilevel_roi_align_pallas(
+        [jnp.asarray(f0), jnp.asarray(f1)], jnp.asarray(boxes),
+        jnp.asarray(batch_idx), jnp.asarray(levels), scales, 7, 2,
+        interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)

@@ -16,6 +16,9 @@ def timed(fn, x, iters=10):
     """fn(x, n) with n traced (single compile, dynamic loop bound)."""
     import jax
 
+    from centermask2_tpu.utils.platform import apply_platform_override
+    apply_platform_override()
+
     jax.block_until_ready(fn(x, 1))  # compile once
     t0 = time.perf_counter()
     jax.block_until_ready(fn(x, 1))

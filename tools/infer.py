@@ -42,6 +42,9 @@ def parse_args():
 def main():
     args = parse_args()
     import jax
+
+    from centermask2_tpu.utils.platform import apply_platform_override
+    apply_platform_override()
     import jax.numpy as jnp
 
     from centermask2_tpu.config import get_cfg

@@ -36,6 +36,9 @@ def main():
     args = p.parse_args()
 
     import jax
+
+    from centermask2_tpu.utils.platform import apply_platform_override
+    apply_platform_override()
     import jax.numpy as jnp
 
     from centermask2_tpu.config import get_cfg

@@ -53,6 +53,9 @@ def main():
 
     import cv2
     import jax
+
+    from centermask2_tpu.utils.platform import apply_platform_override
+    apply_platform_override()
     import jax.numpy as jnp
 
     from centermask2_tpu.config import get_cfg
