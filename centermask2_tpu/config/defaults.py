@@ -207,7 +207,7 @@ _C.TPU.COMPUTE_DTYPE = "bfloat16"
 # Data-parallel mesh axis name.
 _C.TPU.MESH_AXIS = "data"
 # Size buckets (shortest-edge padded sizes) for batched inference.
-_C.TPU.SIZE_BUCKETS = [1344]
+_C.TPU.SIZE_BUCKETS = [896, 1120, 1344]
 
 
 def get_cfg() -> CN:

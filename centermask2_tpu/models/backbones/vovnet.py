@@ -29,6 +29,7 @@ from centermask2_tpu.layers import (
     kaiming_normal_fan_out,
     max_pool2d_ceil,
 )
+from centermask2_tpu.layers.deform import DeformConvBlock
 
 # Stage specs (reference vovnet.py:30-108).
 VoVNet19_slim_dw_eSE = dict(
@@ -118,6 +119,9 @@ class OSAModule(nn.Module):
     layer_per_block: int
     identity: bool = False
     depthwise: bool = False
+    with_dcn: bool = False
+    with_modulated_dcn: bool = False
+    deformable_groups: int = 1
     norm: str = "FrozenBN"
     dtype: Optional[Any] = None
 
@@ -136,6 +140,13 @@ class OSAModule(nn.Module):
                 x = DWConvBlock(
                     self.stage_ch, norm=self.norm, dtype=self.dtype,
                     name=f"layer{i}",
+                )(x)
+            elif self.with_dcn:
+                # DFConv3x3 (reference vovnet.py:132-201)
+                x = DeformConvBlock(
+                    self.stage_ch, modulated=self.with_modulated_dcn,
+                    deformable_groups=self.deformable_groups,
+                    norm=self.norm, dtype=self.dtype, name=f"layer{i}",
                 )(x)
             else:
                 x = ConvNormAct(
@@ -162,6 +173,9 @@ class VoVNet(nn.Module):
     body: str = "V-39-eSE"
     out_features: Sequence[str] = ("stage2", "stage3", "stage4", "stage5")
     norm: str = "FrozenBN"
+    stage_with_dcn: Sequence[bool] = (False, False, False, False)
+    with_modulated_dcn: bool = False
+    deformable_groups: int = 1
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -201,6 +215,9 @@ class VoVNet(nn.Module):
                     layer_per_block=spec["layer_per_block"],
                     identity=(b > 0),
                     depthwise=depthwise,
+                    with_dcn=bool(self.stage_with_dcn[i]),
+                    with_modulated_dcn=self.with_modulated_dcn,
+                    deformable_groups=self.deformable_groups,
                     norm=self.norm,
                     dtype=self.dtype,
                     name=f"OSA{stage_num}_{b + 1}",

@@ -20,21 +20,30 @@ from centermask2_tpu.layers import GroupNorm, Scale, normal_init
 
 
 class Tower(nn.Module):
-    """num_convs x [conv3x3(bias) -> GN -> relu]."""
+    """num_convs x [conv3x3(bias) -> GN -> relu]; optionally deformable
+    (USE_DEFORMABLE, reference fcos.py:166-186)."""
 
     num_convs: int
     channels: int
     norm: str = "GN"
+    use_deformable: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i in range(self.num_convs):
-            x = nn.Conv(
-                self.channels, kernel_size=(3, 3), padding=((1, 1), (1, 1)),
-                use_bias=True, kernel_init=normal_init(0.01),
-                dtype=self.dtype, param_dtype=jnp.float32, name=f"conv{i}",
-            )(x)
+            if self.use_deformable:
+                from centermask2_tpu.layers.deform import DeformConvBlock
+
+                x = DeformConvBlock(
+                    self.channels, norm="", use_act=False, use_bias=True,
+                    dtype=self.dtype, name=f"conv{i}")(x)
+            else:
+                x = nn.Conv(
+                    self.channels, kernel_size=(3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=True, kernel_init=normal_init(0.01),
+                    dtype=self.dtype, param_dtype=jnp.float32, name=f"conv{i}",
+                )(x)
             if self.norm == "GN":
                 x = GroupNorm(self.channels, num_groups=32, name=f"norm{i}")(x)
             x = jax.nn.relu(x)
@@ -51,6 +60,7 @@ class FCOSHead(nn.Module):
     num_levels: int = 5
     use_scale: bool = True
     prior_prob: float = 0.01
+    use_deformable: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -60,11 +70,13 @@ class FCOSHead(nn.Module):
         """features: per-level (N, Hl, Wl, C). Returns per-level lists
         (logits, bbox_reg, ctrness) in NHWC with C = num_classes / 4 / 1."""
         share_tower = Tower(self.num_share_convs, self.in_channels, self.norm,
-                            self.dtype, name="share_tower")
+                            use_deformable=self.use_deformable,
+                            dtype=self.dtype, name="share_tower")
         cls_tower = Tower(self.num_cls_convs, self.in_channels, self.norm,
-                          self.dtype, name="cls_tower")
+                          dtype=self.dtype, name="cls_tower")
         bbox_tower = Tower(self.num_box_convs, self.in_channels, self.norm,
-                           self.dtype, name="bbox_tower")
+                           use_deformable=self.use_deformable,
+                           dtype=self.dtype, name="bbox_tower")
 
         bias_value = -math.log((1 - self.prior_prob) / self.prior_prob)
         cls_logits = nn.Conv(

@@ -82,6 +82,9 @@ class CenterMask(nn.Module):
     num_share_convs: int = 0
     use_scale: bool = True
     prior_prob: float = 0.01
+    use_deformable: bool = False
+    stage_with_dcn: Sequence[bool] = (False, False, False, False)
+    with_modulated_dcn: bool = False
     sizes_of_interest: Sequence[int] = (64, 128, 256, 512)
     center_sample: bool = True
     pos_radius: float = 1.5
@@ -123,7 +126,10 @@ class CenterMask(nn.Module):
         else:
             self.backbone = VoVNet(
                 body=self.conv_body, out_features=tuple(self.fpn_in_features),
-                norm=self.backbone_norm, dtype=self.dtype)
+                norm=self.backbone_norm,
+                stage_with_dcn=tuple(self.stage_with_dcn),
+                with_modulated_dcn=self.with_modulated_dcn,
+                dtype=self.dtype)
         if self.backbone_type == "vovnet":
             strides_map = vovnet_lib.FEATURE_STRIDES
         else:
@@ -139,7 +145,8 @@ class CenterMask(nn.Module):
             num_cls_convs=self.num_cls_convs, num_box_convs=self.num_box_convs,
             num_share_convs=self.num_share_convs, norm=self.fcos_norm,
             num_levels=len(self.fcos_in_features), use_scale=self.use_scale,
-            prior_prob=self.prior_prob, dtype=self.dtype)
+            prior_prob=self.prior_prob, use_deformable=self.use_deformable,
+            dtype=self.dtype)
         self.roi_heads = CenterROIHeads(
             num_classes=self.num_classes, in_strides=tuple(self.roi_in_strides),
             mask_on=self.mask_on, maskiou_on=self.maskiou_on,
@@ -481,6 +488,9 @@ def build_centermask(cfg: CfgNode) -> CenterMask:
         focal_alpha=cfg.MODEL.FCOS.LOSS_ALPHA,
         focal_gamma=cfg.MODEL.FCOS.LOSS_GAMMA,
         thresh_with_ctr=cfg.MODEL.FCOS.THRESH_WITH_CTR,
+        use_deformable=cfg.MODEL.FCOS.USE_DEFORMABLE,
+        stage_with_dcn=tuple(cfg.MODEL.VOVNET.STAGE_WITH_DCN),
+        with_modulated_dcn=cfg.MODEL.VOVNET.WITH_MODULATED_DCN,
         pre_nms_thresh_test=cfg.MODEL.FCOS.INFERENCE_TH_TEST,
         pre_nms_topk_test=cfg.MODEL.FCOS.PRE_NMS_TOPK_TEST,
         post_nms_topk_test=cfg.MODEL.FCOS.POST_NMS_TOPK_TEST,

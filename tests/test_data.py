@@ -112,3 +112,32 @@ def test_paste_masks_np_footprint():
     assert out[0, 15, 15]
     assert not out[0, 5, 5]
     assert not out[0, 25, 25]
+
+
+def test_bucketing():
+    from centermask2_tpu.data.bucketing import (
+        batches_from_groups,
+        group_by_bucket,
+        pick_bucket,
+    )
+
+    assert pick_bucket(800, 1202, [896, 1120, 1344]) == 1344
+    assert pick_bucket(800, 1067, [896, 1120, 1344]) == 1120
+    assert pick_bucket(800, 800, [896, 1120, 1344]) == 896
+    # too large: falls back to largest
+    assert pick_bucket(2000, 2000, [896, 1344]) == 1344
+
+    # 480x640 -> (800,1067) -> 1120; 640x640 -> (800,800) -> 896
+    groups = group_by_bucket(
+        ["a", "b", "c"], [(480, 640), (640, 640), (426, 640)],
+        [896, 1120, 1344], 800, 1333)
+    assert groups[1120] == [0]
+    assert groups[896] == [1]
+    assert groups[1344] == [2]  # 426x640 -> (800, 1202)
+
+    batches = list(batches_from_groups(groups, 2))
+    # each bucket yields one (possibly padded) batch
+    assert any(b[0] == 896 for b in batches)
+    for bucket, chunk, n_real in batches:
+        assert len(chunk) == 2
+        assert 1 <= n_real <= 2

@@ -177,3 +177,46 @@ def test_segm_eval_and_mask_score_substitution():
     # a good detection in segm ranking
     recs = [p for p in ev.predictions if p["image_id"] == 1]
     assert all("mask_score" in p for p in recs)
+
+
+def test_cityscapes_instance_evaluator(tmp_path):
+    from centermask2_tpu.evaluation.cityscapes_eval import (
+        CityscapesInstanceEvaluator,
+    )
+
+    ev = CityscapesInstanceEvaluator(str(tmp_path / "preds"))
+    m = np.zeros((64, 128), bool)
+    m[10:30, 20:60] = True
+    ev.process("frankfurt_000000_000294_leftImg8bit.png", {
+        "pred_classes": np.array([2, 99]),  # car + out-of-vocab (skipped)
+        "mask_scores": np.array([0.8, 0.5]),
+        "pred_masks": np.stack([m, m]),
+    })
+    txt = tmp_path / "preds" / "frankfurt_000000_000294_leftImg8bit_pred.txt"
+    assert txt.exists()
+    lines = txt.read_text().splitlines()
+    assert len(lines) == 1  # out-of-vocab skipped
+    png, label_id, score = lines[0].split()
+    assert label_id == "26" and abs(float(score) - 0.8) < 1e-6
+    assert (tmp_path / "preds" / png).exists()
+    res = ev.evaluate()
+    assert "note" in res or "AP" in res
+
+
+def test_event_storage(tmp_path):
+    from centermask2_tpu.utils.events import EventStorage
+
+    f = str(tmp_path / "metrics.jsonl")
+    st = EventStorage(f)
+    st.put_scalar("loss", 1.0)
+    st.step()
+    st.put_scalar("loss", 0.5)
+    st.put_scalar("acc", 0.9)
+    st.step()
+    st.close()
+    import json as _json
+
+    lines = [_json.loads(l) for l in open(f)]
+    assert lines[0]["loss"] == 1.0 and lines[1]["acc"] == 0.9
+    assert st.history("loss") == [(0, 1.0), (1, 0.5)]
+    assert st.median("loss") == 1.0

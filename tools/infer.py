@@ -33,6 +33,7 @@ def parse_args():
     p.add_argument("--image-root", required=True)
     p.add_argument("--weights", default=None)
     p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--output-dir", default="output/infer")
     p.add_argument("--tasks", default="bbox,segm")
     p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
@@ -91,26 +92,57 @@ def main():
 
     ids = ds.ids[: args.limit] if args.limit else ds.ids
     total_time = 0.0
-    for n, img_id in enumerate(ids):
-        pre = preprocess_for_model(ds.image_path(img_id), fixed,
-                                   cfg.INPUT.MIN_SIZE_TEST,
-                                   cfg.INPUT.MAX_SIZE_TEST)
-        t0 = time.perf_counter()
-        out = fn(variables, jnp.asarray(pre["input"]))
-        out = jax.tree.map(np.asarray, out)
-        total_time += time.perf_counter() - t0
+    n_done = 0
 
-        valid = out.valid[0]
-        tup = (out.locations[0][valid], out.mask_scores[0][valid],
-               out.pred_boxes[0][valid], out.pred_classes[0][valid],
-               out.pred_masks[0][valid], out.scores[0][valid])
+    def handle_image(img_id, out_b, pre):
+        valid = out_b.valid
+        tup = (out_b.locations[valid], out_b.mask_scores[valid],
+               out_b.pred_boxes[valid], out_b.pred_classes[valid],
+               out_b.pred_masks[valid], out_b.scores[valid])
         wrapped = single_wrap_outputs(tup)
         h, w = pre["original_hw"]
         post = detector_postprocess(wrapped, h, w, short=pre["short"],
                                     max_size=pre["max_size"])
         evaluator.process(img_id, post)
-        if (n + 1) % 50 == 0:
-            print(f"[{n + 1}/{len(ids)}] {total_time / (n + 1) * 1000:.1f} ms/img")
+
+    if args.batch_size <= 1:
+        for n, img_id in enumerate(ids):
+            pre = preprocess_for_model(ds.image_path(img_id), fixed,
+                                       cfg.INPUT.MIN_SIZE_TEST,
+                                       cfg.INPUT.MAX_SIZE_TEST)
+            t0 = time.perf_counter()
+            out = fn(variables, jnp.asarray(pre["input"]))
+            out = jax.tree.map(np.asarray, out)
+            total_time += time.perf_counter() - t0
+            handle_image(img_id, jax.tree.map(lambda x: x[0], out), pre)
+            n_done += 1
+            if (n + 1) % 50 == 0:
+                print(f"[{n + 1}/{len(ids)}] {total_time / (n + 1) * 1000:.1f} ms/img")
+    else:
+        # shape-bucketed batched inference (BASELINE.json config)
+        from centermask2_tpu.data.bucketing import (batches_from_groups,
+                                                    group_by_bucket)
+
+        sizes = [(ds.imgs[i]["height"], ds.imgs[i]["width"]) for i in ids]
+        groups = group_by_bucket(ids, sizes, cfg.TPU.SIZE_BUCKETS,
+                                 cfg.INPUT.MIN_SIZE_TEST,
+                                 cfg.INPUT.MAX_SIZE_TEST)
+        for bucket, chunk, n_real in batches_from_groups(groups, args.batch_size):
+            pres = [preprocess_for_model(ds.image_path(ids[i]), bucket,
+                                         cfg.INPUT.MIN_SIZE_TEST,
+                                         cfg.INPUT.MAX_SIZE_TEST)
+                    for i in chunk]
+            batch = jnp.asarray(np.concatenate([p["input"] for p in pres]))
+            t0 = time.perf_counter()
+            out = fn(variables, batch)
+            out = jax.tree.map(np.asarray, out)
+            total_time += time.perf_counter() - t0
+            for bi in range(n_real):
+                handle_image(ids[chunk[bi]],
+                             jax.tree.map(lambda x: x[bi], out), pres[bi])
+                n_done += 1
+            if n_done % 50 < args.batch_size:
+                print(f"[{n_done}] {total_time / max(n_done, 1) * 1000:.1f} ms/img")
 
     os.makedirs(args.output_dir, exist_ok=True)
     with open(os.path.join(args.output_dir, "coco_instances_results.json"), "w") as f:

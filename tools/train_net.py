@@ -50,6 +50,7 @@ def main():
     from centermask2_tpu.checkpoint.orbax_io import (latest_checkpoint,
                                                      load_checkpoint,
                                                      save_checkpoint)
+    from centermask2_tpu.utils.events import EventStorage
 
     cfg = get_cfg()
     if args.config_file:
@@ -99,6 +100,8 @@ def main():
         seed=max(cfg.SEED, 0))
 
     start = int(jax.device_get(state.step))
+    storage = EventStorage(os.path.join(out_dir, "metrics.jsonl"),
+                           start_iter=start)
     rng = jax.random.PRNGKey(start)
     t0 = time.perf_counter()
     for it, batch in enumerate(batches, start=start):
@@ -118,9 +121,12 @@ def main():
             m = jax.tree.map(float, jax.device_get(metrics))
             dt = (time.perf_counter() - t0) / args.log_every
             t0 = time.perf_counter()
+            storage.put_scalars(**m)
+            storage.put_scalar("s_per_iter", dt)
             print(f"iter {it + 1}/{max_iter} "
                   + " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items()))
                   + f" ({dt:.2f} s/it)")
+        storage.step()
         if (it + 1) % cfg.SOLVER.CHECKPOINT_PERIOD == 0 or (it + 1) == max_iter:
             path = save_checkpoint(os.path.join(out_dir, "checkpoints"),
                                    jax.device_get(state), it + 1)
