@@ -42,6 +42,11 @@ def main():
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(1, edge, edge, 3).astype(np.float32) * 30.0)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    # serve in bf16: casting 37M fp32 params to bf16 once here instead of
+    # inside every forward saves ~220MB of HBM traffic per inference
+    params = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        params)
 
     # Timing: n model evaluations inside ONE jitted fori_loop, each on a
     # distinct input (per-iteration scale) with outputs accumulated into

@@ -67,8 +67,11 @@ def decode_single_image(
 
     for lvl, (locs, lg, rg, ct) in enumerate(zip(locations, logits, reg, ctrness)):
         C = lg.shape[-1]
-        cls_sig = jax.nn.sigmoid(lg.astype(jnp.float32))  # (HW, C)
-        ctr_sig = jax.nn.sigmoid(ct.astype(jnp.float32)).reshape(-1)  # (HW,)
+        # The per-pixel (HW, C) stage stays in the head's compute dtype
+        # (bf16 halves the HBM traffic of this bandwidth-bound pass);
+        # everything after the top-k gather is fp32.
+        cls_sig = jax.nn.sigmoid(lg)  # (HW, C)
+        ctr_sig = jax.nn.sigmoid(ct).reshape(-1)  # (HW,)
 
         if thresh_with_ctr:
             cls_sig = cls_sig * ctr_sig[:, None]
@@ -83,11 +86,12 @@ def decode_single_image(
         # max dominates that pair), then re-rank the survivors' full
         # class rows. Cuts the big sort from HW*C to HW elements
         # (80x for COCO), the decode hot spot on TPU.
-        masked_scores = jnp.where(candidate_mask, cls_sig, -1.0)  # (HW, C)
+        masked_scores = jnp.where(candidate_mask, cls_sig,
+                                  jnp.asarray(-1.0, cls_sig.dtype))  # (HW, C)
         k_loc = min(k, masked_scores.shape[0])
         loc_best = jnp.max(masked_scores, axis=1)  # (HW,)
         _, top_locs = jax.lax.top_k(loc_best, k_loc)  # (k_loc,)
-        rows = jnp.take(masked_scores, top_locs, axis=0)  # (k_loc, C)
+        rows = jnp.take(masked_scores, top_locs, axis=0).astype(jnp.float32)
         vals, flat_idx = jax.lax.top_k(rows.reshape(-1), k)
         valid = vals > 0.0
         loc_idx = jnp.take(top_locs, flat_idx // C)
