@@ -196,6 +196,9 @@ _C.TEST.EVAL_PERIOD = 0
 _C.TPU = CN()
 # Fixed padded input edge for the export/inference path.
 _C.TPU.FIXED_EDGE_SIZE = 1344
+# Use TPU-optimized approximate top-k in decode (recall ~0.95 at the
+# candidate tail; exact on CPU). Set False for bit-exact parity runs.
+_C.TPU.APPROX_TOPK = True
 # Per-level candidate capacity before NMS (= PRE_NMS_TOPK).
 _C.TPU.NMS_CANDIDATES = 1000
 # Max ground-truth instances per image (training padding capacity).

@@ -111,6 +111,61 @@ class DWConvBlock(nn.Module):
         return jax.nn.relu(x)
 
 
+class _KernelParam(nn.Module):
+    """Bare kernel parameter holder (keeps the stem_1/conv/kernel path for
+    checkpoint compatibility while the conv itself is restructured)."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", kaiming_normal_fan_out(), self.shape,
+                          jnp.float32)
+
+
+class S2DStemConv(nn.Module):
+    """stem_1 as a space-to-depth conv — exact math rewrite.
+
+    The reference stem_1 (conv 3x3/s2 on the 3-channel image,
+    vovnet.py:432) is pathological on the MXU: 3 input channels use 2% of
+    the 128-lane systolic array, and the profiler shows it plus its layout
+    copies costing ~2 ms at 1344 input. The identical operator expressed
+    on space-to-depth-transformed input (2x2 blocks -> 12 channels,
+    kernel zero-padded 3->4 then regrouped to 2x2x12) keeps the exact
+    output while quadrupling MXU lane utilization. The parameter is still
+    the logical (3, 3, 3, C) kernel, so checkpoints convert unchanged.
+    """
+
+    features: int
+    norm: str = "FrozenBN"
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        N, H, W, C = x.shape
+        kernel = _KernelParam((3, 3, C, self.features), name="conv")()
+        dtype = self.dtype or x.dtype
+        # zero-pad kernel 3->4 at top/left: conv(k4, s2, pad 2 top-left)
+        # == conv(k3, s2, pad 1)
+        w4 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        # regroup taps (d = 2a + p) to a 2x2 kernel over (p, q, c) channels
+        O = self.features
+        w2 = w4.reshape(2, 2, 2, 2, C, O).transpose(0, 2, 1, 3, 4, 5)
+        w2 = w2.reshape(2, 2, 4 * C, O)
+        # space-to-depth the (top/left zero-padded) image
+        xp = jnp.pad(x, ((0, 0), (2, 0), (2, 0), (0, 0)))
+        Hp, Wp = xp.shape[1] // 2, xp.shape[2] // 2
+        xd = xp.reshape(N, Hp, 2, Wp, 2, C).transpose(0, 1, 3, 2, 4, 5)
+        xd = xd.reshape(N, Hp, Wp, 4 * C)
+        y = jax.lax.conv_general_dilated(
+            xd.astype(dtype), w2.astype(dtype), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        norm = get_norm(self.norm, self.features, name="norm")
+        if norm is not None:
+            y = norm(y)
+        return jax.nn.relu(y)
+
+
 class OSAModule(nn.Module):
     """One-Shot-Aggregation block (reference _OSA_module, vovnet.py:263-332)."""
 
@@ -176,6 +231,7 @@ class VoVNet(nn.Module):
     stage_with_dcn: Sequence[bool] = (False, False, False, False)
     with_modulated_dcn: bool = False
     deformable_groups: int = 1
+    space_to_depth_stem: bool = True
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -186,8 +242,12 @@ class VoVNet(nn.Module):
 
         # Stem: conv3x3/s2, conv/s1, conv/s2 (vovnet.py:432-436). The first
         # stem conv is always a standard conv even in dw variants.
-        x = ConvNormAct(stem_ch[0], strides=(2, 2), norm=self.norm,
-                        dtype=self.dtype, name="stem_1")(x)
+        if self.space_to_depth_stem and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            x = S2DStemConv(stem_ch[0], norm=self.norm, dtype=self.dtype,
+                            name="stem_1")(x)
+        else:
+            x = ConvNormAct(stem_ch[0], strides=(2, 2), norm=self.norm,
+                            dtype=self.dtype, name="stem_1")(x)
         if depthwise:
             x = DWConvBlock(stem_ch[1], norm=self.norm, dtype=self.dtype,
                             name="stem_2")(x)

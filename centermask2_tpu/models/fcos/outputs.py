@@ -48,6 +48,20 @@ class DecodedProposals(NamedTuple):
     valid: jnp.ndarray  # (K,) bool
 
 
+def _top_k(x: jnp.ndarray, k: int, approx: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """top_k, optionally via the TPU-optimized approximate reduction.
+
+    approx_max_k (recall ~0.95 at the tail) replaces the full-sort TopK
+    custom call, which profiles at ~0.6 ms per level at 1344 input; the
+    recall loss only affects candidates ranked near position k, i.e. the
+    lowest-scoring tail that rarely survives NMS. Exact mode remains the
+    default for parity testing (and is what CPU falls back to).
+    """
+    if approx and x.shape[-1] > 4 * k:
+        return jax.lax.approx_max_k(x, k, recall_target=0.95)
+    return jax.lax.top_k(x, k)
+
+
 def decode_single_image(
     locations: List[jnp.ndarray],  # per level (HW, 2)
     logits: List[jnp.ndarray],  # per level (HW, C)
@@ -60,6 +74,7 @@ def decode_single_image(
     post_nms_topk: int,
     nms_candidates: int = 1000,
     thresh_with_ctr: bool = False,
+    approx_topk: bool = False,
 ) -> DecodedProposals:
     """Reference forward_for_single_feature_map + select_over_all_levels
     (fcos_outputs.py:396-495), re-derived for fixed shapes."""
@@ -90,9 +105,9 @@ def decode_single_image(
                                   jnp.asarray(-1.0, cls_sig.dtype))  # (HW, C)
         k_loc = min(k, masked_scores.shape[0])
         loc_best = jnp.max(masked_scores, axis=1)  # (HW,)
-        _, top_locs = jax.lax.top_k(loc_best, k_loc)  # (k_loc,)
+        _, top_locs = _top_k(loc_best, k_loc, approx_topk)  # (k_loc,)
         rows = jnp.take(masked_scores, top_locs, axis=0).astype(jnp.float32)
-        vals, flat_idx = jax.lax.top_k(rows.reshape(-1), k)
+        vals, flat_idx = _top_k(rows.reshape(-1), k, approx_topk)
         valid = vals > 0.0
         loc_idx = jnp.take(top_locs, flat_idx // C)
         cls_idx = flat_idx % C

@@ -101,6 +101,7 @@ class CenterMask(nn.Module):
     post_nms_topk_train: int = 100
     nms_thresh: float = 0.6
     nms_candidates: int = 1000
+    approx_topk: bool = True  # TPU-fast decode top-k (exact on CPU)
     # roi
     mask_on: bool = True
     maskiou_on: bool = True
@@ -182,6 +183,7 @@ class CenterMask(nn.Module):
                            else self.post_nms_topk_test),
             nms_candidates=self.nms_candidates,
             thresh_with_ctr=self.thresh_with_ctr,
+            approx_topk=self.approx_topk,
         )
 
     # ------------------------------------------------------------------
@@ -499,6 +501,7 @@ def build_centermask(cfg: CfgNode) -> CenterMask:
         post_nms_topk_train=cfg.MODEL.FCOS.POST_NMS_TOPK_TRAIN,
         nms_thresh=cfg.MODEL.FCOS.NMS_TH,
         nms_candidates=cfg.TPU.NMS_CANDIDATES,
+        approx_topk=cfg.TPU.APPROX_TOPK,
         mask_on=cfg.MODEL.MASK_ON,
         maskiou_on=cfg.MODEL.MASKIOU_ON,
         maskiou_loss_weight=cfg.MODEL.MASKIOU_LOSS_WEIGHT,

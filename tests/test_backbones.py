@@ -135,3 +135,22 @@ def test_mobilenetv2_shapes():
     assert out["res3"].shape == (1, 28, 28, 32)
     assert out["res4"].shape == (1, 14, 14, 96)
     assert out["res5"].shape == (1, 7, 7, 320)
+
+
+def test_s2d_stem_exactly_matches_plain_conv_stem():
+    """The space-to-depth stem rewrite must be numerically identical to the
+    plain conv3x3/s2 stem (same params)."""
+    from centermask2_tpu.models.backbones.vovnet import S2DStemConv
+    from centermask2_tpu.layers import ConvNormAct
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 34, 42, 3).astype(np.float32))
+    s2d = S2DStemConv(16, norm="FrozenBN", dtype=jnp.float32)
+    plain = ConvNormAct(16, strides=(2, 2), norm="FrozenBN", dtype=jnp.float32)
+    params = s2d.init(jax.random.PRNGKey(0), x)
+    # same param tree (conv/kernel + norm/frozen_*): reuse directly
+    out_s2d = s2d.apply(params, x)
+    out_plain = plain.apply(params, x)
+    assert out_s2d.shape == out_plain.shape == (1, 17, 21, 16)
+    np.testing.assert_allclose(np.asarray(out_s2d), np.asarray(out_plain),
+                               rtol=1e-5, atol=1e-5)
