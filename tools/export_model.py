@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""AOT export CLI — the convert_model_into_onnx.py analog.
+
+Lowers the fixed-shape inference function (weights baked in) and
+serializes it with jax.export. The artifact replays without the model
+definition (tools/parity_check.py validates the roundtrip).
+
+  python tools/export_model.py --config-file configs/centermask/zy_model_config.yaml \
+      [--weights model.pth|orbax_dir] --out centermask2.jaxir [opts...]
+"""
+
+import argparse
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config-file", default=None)
+    p.add_argument("--weights", default=None)
+    p.add_argument("--out", required=True)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("opts", nargs="*", default=[])
+    args = p.parse_args()
+
+    import jax
+
+    from centermask2_tpu.utils.platform import apply_platform_override
+    apply_platform_override()
+    import jax.numpy as jnp
+
+    from centermask2_tpu.config import get_cfg
+    from centermask2_tpu.export import compile_inference, export_serialized
+    from centermask2_tpu.models import build_centermask
+
+    cfg = get_cfg()
+    if args.config_file:
+        cfg.merge_from_file(args.config_file)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+
+    model = build_centermask(cfg)
+    fixed = cfg.TPU.FIXED_EDGE_SIZE
+    shape = (args.batch, fixed, fixed, 3)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, fixed, fixed, 3)))
+
+    if args.weights:
+        if args.weights.endswith(".pth"):
+            from centermask2_tpu.checkpoint.convert_torch import (
+                convert_checkpoint, load_torch_checkpoint, merge_params)
+
+            sd = load_torch_checkpoint(args.weights)
+            conv, _ = convert_checkpoint(sd, conv_body=cfg.MODEL.VOVNET.CONV_BODY)
+            params, missing = merge_params(
+                jax.tree.map(np.asarray, variables["params"]), conv)
+            if missing:
+                print(f"[warn] {len(missing)} params missing from checkpoint")
+            variables = {"params": jax.tree.map(jnp.asarray, params)}
+        else:
+            from centermask2_tpu.checkpoint.orbax_io import load_checkpoint
+
+            variables = load_checkpoint(args.weights, target=variables)
+
+    path = export_serialized(model, variables, shape, args.out)
+    size_mb = os.path.getsize(path) / 1e6
+    print(f"exported {path} ({size_mb:.1f} MB), input {shape}")
+
+    _, cost = compile_inference(model, variables, shape)
+    if cost:
+        print(f"flops: {cost.get('flops', 0) / 1e9:.1f} GFLOP")
+
+
+if __name__ == "__main__":
+    main()
