@@ -8,6 +8,8 @@ from .roi_align import (
     assign_boxes_by_area,
 )
 from .paste_masks import paste_masks
+from .deform_conv import deform_conv2d
+from .roi_align_pallas import multilevel_roi_align_pallas
 
 __all__ = [
     "masked_topk",
@@ -24,4 +26,6 @@ __all__ = [
     "assign_boxes_by_ratio",
     "assign_boxes_by_area",
     "paste_masks",
+    "deform_conv2d",
+    "multilevel_roi_align_pallas",
 ]
