@@ -21,8 +21,7 @@ missing/unused keys are reported, not fatal.
 
 from __future__ import annotations
 
-import re
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 import numpy as np
 

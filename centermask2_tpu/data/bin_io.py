@@ -13,7 +13,7 @@ files named {image_id}_{1..6}.bin.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 

@@ -12,8 +12,6 @@ from __future__ import annotations
 from collections import defaultdict
 from typing import Dict, Iterator, List, Sequence, Tuple
 
-import numpy as np
-
 from .preprocess import compute_resize_shape
 
 

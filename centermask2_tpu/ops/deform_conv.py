@@ -12,7 +12,7 @@ taps contract with the kernel on the MXU: out = einsum(samples, W).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

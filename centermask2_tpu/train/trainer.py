@@ -10,7 +10,7 @@ except metrics fetch.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -18,7 +18,7 @@ import optax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from centermask2_tpu.models import CenterMask, GroundTruth
+from centermask2_tpu.models import CenterMask
 
 
 class TrainState(NamedTuple):

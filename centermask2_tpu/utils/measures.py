@@ -9,7 +9,7 @@ anything without a registered hook).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict
 
 import jax
 import numpy as np
