@@ -100,8 +100,6 @@ def main():
     print(f"{'output':<14}{'cos(direct,export)':>20}{'mae':>12}"
           f"{'cos(direct,bins)':>20}{'mae':>12}")
     ok = True
-    direct_leaves = [np.asarray(t) for t in jax.tree.leaves(direct)]
-    # jax.tree.leaves on the NamedTuple yields fields in definition order
     for i, n in enumerate(["locations", "mask_scores", "pred_boxes",
                            "pred_classes", "pred_masks", "scores", "valid"]):
         a = np.asarray(getattr(direct, n)).astype(np.float64)

@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Capture and summarize a device profile of the inference pipeline.
+
+The TPU-native replacement for the reference's hook/ONNX tracing toolchain
+(SURVEY.md §5 tracing): captures a jax.profiler trace, then prints the
+top device ops with HLO metadata (module path + source line) so hot spots
+map straight back to framework code.
+
+  python tools/profile_model.py [--config-file ...] [--runs 3] [--top 25] [opts]
+"""
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+import tempfile
+from collections import defaultdict
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def summarize(trace_dir: str, runs: int, top: int, hlo_text: str = ""):
+    f = sorted(glob.glob(os.path.join(trace_dir, "plugins/profile/*/*.trace.json.gz")))[-1]
+    with gzip.open(f) as fh:
+        data = json.load(fh)
+    events = [e for e in data["traceEvents"]
+              if e.get("ph") == "X" and e.get("pid") == 3 and "dur" in e
+              and not e["name"].startswith("jit_")]
+    total = sum(e["dur"] for e in events)
+    print(f"device op time: {total / runs / 1000:.2f} ms/run")
+
+    # map HLO op name -> source metadata
+    meta = {}
+    if hlo_text:
+        for line in hlo_text.splitlines():
+            line = line.strip()
+            if "op_name=" in line and "= " in line.split("op_name=")[0]:
+                name = line.lstrip("%").split(" ", 1)[0].rstrip(" =")
+                tag = line.split('op_name="', 1)[-1].split('"')[0]
+                meta[name] = tag.split("jit(<lambda>)/")[-1][:90]
+
+    by = defaultdict(float)
+    for e in events:
+        by[e["name"]] += e["dur"]
+    print(f"{'ms/run':>9}  {'cum%':>5}  op (module path)")
+    cum = 0.0
+    for n, d in sorted(by.items(), key=lambda kv: -kv[1])[:top]:
+        cum += d
+        src = meta.get(n, "")
+        print(f"{d / runs / 1000:9.3f}  {cum / total * 100:5.1f}  {n[:40]} {src}")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config-file", default=None)
+    p.add_argument("--runs", type=int, default=3)
+    p.add_argument("--top", type=int, default=25)
+    p.add_argument("--trace-dir", default=None)
+    p.add_argument("opts", nargs="*", default=[])
+    args = p.parse_args()
+
+    import jax
+
+    from centermask2_tpu.utils.platform import apply_platform_override
+    apply_platform_override()
+    import jax.numpy as jnp
+
+    from centermask2_tpu.config import get_cfg
+    from centermask2_tpu.models import build_centermask
+
+    cfg = get_cfg()
+    if args.config_file:
+        cfg.merge_from_file(args.config_file)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+
+    model = build_centermask(cfg)
+    fixed = cfg.TPU.FIXED_EDGE_SIZE
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, fixed, fixed, 3).astype(np.float32) * 30)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    fn = jax.jit(lambda p, im: model.apply(p, im))
+    out = fn(params, x)
+    jax.block_until_ready(out)
+
+    hlo_text = ""
+    try:
+        hlo_text = jax.jit(lambda p, im: model.apply(p, im)).lower(
+            params, x).compile().as_text()
+    except Exception:
+        pass
+
+    trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="cm2_trace_")
+    with jax.profiler.trace(trace_dir):
+        for _ in range(args.runs):
+            out = fn(params, x)
+        jax.block_until_ready(out)
+    print(f"trace: {trace_dir}")
+    summarize(trace_dir, args.runs, args.top, hlo_text)
+
+
+if __name__ == "__main__":
+    main()
