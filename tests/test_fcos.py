@@ -255,3 +255,19 @@ def test_fcos_losses_psum_normalizers():
     # device 1 (no positives) still has nonzero cls loss normalized by 4.
     cls = np.asarray(out["loss_fcos_cls"])
     assert np.isfinite(cls).all() and cls[1] > 0
+
+
+def test_keypoints_to_heatmap_d2_semantics():
+    from centermask2_tpu.models.roi.keypoint_head import keypoints_to_heatmap
+
+    boxes = jnp.array([[10.0, 20.0, 110.0, 120.0]])  # 100x100 box
+    # kp at box center -> cell (28, 28) of 56; kp outside -> invalid;
+    # kp visible=0 -> invalid
+    kps = jnp.array([[[60.0, 70.0, 2.0],
+                      [5.0, 70.0, 2.0],
+                      [60.0, 70.0, 0.0],
+                      [10.0, 20.0, 1.0]]])  # exactly on corner: inside
+    idx, valid = keypoints_to_heatmap(kps, boxes, 56)
+    assert list(np.asarray(valid)[0]) == [True, False, False, True]
+    assert int(idx[0, 0]) == 28 * 56 + 28
+    assert int(idx[0, 3]) == 0

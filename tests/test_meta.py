@@ -149,3 +149,20 @@ def test_keypoint_branch():
                          gt, jax.random.PRNGKey(1), method=CenterMask.loss)
     assert "loss_keypoint" in losses
     assert np.isfinite(float(losses["loss_keypoint"]))
+
+
+def test_mobilenet_backbone_from_cfg():
+    cfg = get_cfg()
+    cfg.MODEL.MOBILENET = True
+    cfg.MODEL.BACKBONE.NAME = "build_fcos_mobilenetv2_fpn_backbone"
+    cfg.MODEL.FPN.IN_FEATURES = ["res3", "res4", "res5"]
+    cfg.MODEL.FCOS.POST_NMS_TOPK_TEST = 5
+    cfg.MODEL.FCOS.PRE_NMS_TOPK_TEST = 20
+    cfg.TPU.NMS_CANDIDATES = 20
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    model = build_centermask(cfg)
+    assert model.backbone_type == "mobilenet"
+    x = jnp.zeros((1, 128, 128, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert out.scores.shape == (1, 5)
