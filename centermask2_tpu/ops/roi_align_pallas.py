@@ -12,9 +12,14 @@ in ops/roi_align.py). For each ROI the kernel:
 5. average-pools the sampling grid into the (out, out, C) output block.
 
 This keeps HBM traffic to exactly the 4*P rows each ROI touches instead
-of gathering through XLA's generic gather lowering. Used opportunistically
-(TPU backend only); ops/roi_align.py remains the portable reference
-implementation and the numerical oracle in tests.
+of gathering through XLA's generic gather lowering. ops/roi_align.py remains the portable
+reference implementation and the numerical oracle in tests.
+
+Status: numerically verified in interpret mode; real Mosaic compilation
+currently fails on the target stack (per-tap dynamic HBM slicing), while
+trivial kernels compile — the XLA gather (1.49 ms / 50 ROIs measured) is
+the production path until the DMA pattern is reworked to per-ROI region
+copies.
 """
 
 from __future__ import annotations
