@@ -84,33 +84,37 @@ def main():
     baseline_s = 0.050  # reference V100 inference time (README.md:171-173)
 
     # batched throughput: per-image cost with batch=B amortizes the small
-    # per-program ops (decode/NMS/ROI) across images
+    # per-program ops (decode/NMS/ROI) across images. Best-effort: a
+    # failure here must never lose the primary metric.
     B = int(os.environ.get("BENCH_BATCH", "4"))
-    if B > 1:
-        xb = jnp.tile(x, (B, 1, 1, 1))
+    batched_ms = ms
+    try:
+        if B > 1:
+            xb = jnp.tile(x, (B, 1, 1, 1))
 
-        def chained_b(p, im, n):
-            def body(i, acc):
-                out = model.apply(p, im * weights[i])
-                return acc + out.scores
+            def chained_b(p, im, n):
+                def body(i, acc):
+                    out = model.apply(p, im * weights[i])
+                    return acc + out.scores
 
-            k = model.post_nms_topk_test
-            return jax.lax.fori_loop(0, n, body, jnp.zeros((B, k), jnp.float32))
+                k = model.post_nms_topk_test
+                return jax.lax.fori_loop(0, n, body,
+                                         jnp.zeros((B, k), jnp.float32))
 
-        fnb = jax.jit(chained_b)
-        jax.block_until_ready(fnb(params, xb, 1))
-        bt = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
+            fnb = jax.jit(chained_b)
             jax.block_until_ready(fnb(params, xb, 1))
-            t_one = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            jax.block_until_ready(fnb(params, xb, 10))
-            t_many = time.perf_counter() - t0
-            bt = min(bt, (t_many - t_one) / 9)
-        batched_ms = bt / B * 1000.0
-    else:
-        batched_ms = ms
+            bt = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                jax.block_until_ready(fnb(params, xb, 1))
+                t_one = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                jax.block_until_ready(fnb(params, xb, 10))
+                t_many = time.perf_counter() - t0
+                bt = min(bt, (t_many - t_one) / 9)
+            batched_ms = bt / B * 1000.0
+    except Exception as e:  # pragma: no cover
+        print(f"[warn] batched bench failed: {e!r}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "centermask2_v39_inference_latency_1344",
