@@ -1,25 +1,27 @@
 """Pallas TPU kernel for multi-level ROIAlign.
 
 Kernel strategy: one grid step per ROI. The FPN levels are pre-flattened
-into one (S, C) row table in HBM (same unified layout as the XLA version
-in ops/roi_align.py). For each ROI the kernel:
+into one row table in HBM (same unified layout as the XLA version in
+ops/roi_align.py), reshaped to (S, C/128, 128) — Mosaic on the target
+stack rejects single-sublane rows wider than one 128-lane tile, so the
+lane tiles become an explicit dimension. For each ROI the kernel:
 
-1. reads the ROI's box/level scalars from SMEM (scalar prefetch),
-2. computes the (P, 4) bilinear tap row indices and weights on the VPU,
-3. DMAs the needed rows from the HBM table into VMEM tap-by-tap via a
-   per-sample-point dynamic-slice copy loop (double-buffered),
-4. accumulates weight * row into the (P, C) sample buffer,
-5. average-pools the sampling grid into the (out, out, C) output block.
+1. reads the ROI's tap row indices from SMEM (scalar prefetch),
+2. double-buffers per-tap row DMAs from the HBM table into VMEM,
+3. writes each row into the ROI's (P*4, C/128, 128) output block.
 
-This keeps HBM traffic to exactly the 4*P rows each ROI touches instead
-of gathering through XLA's generic gather lowering. ops/roi_align.py remains the portable
-reference implementation and the numerical oracle in tests.
+Bilinear tap weights and the sampling-grid average are applied outside
+the kernel (one fused XLA elementwise+reduce pass): keeping the kernel
+a pure gather avoids sub-lane-width weight blocks.
 
-Status: numerically verified in interpret mode; real Mosaic compilation
-currently fails on the target stack (per-tap dynamic HBM slicing), while
-trivial kernels compile — the XLA gather (1.49 ms / 50 ROIs measured) is
-the production path until the DMA pattern is reworked to per-ROI region
-copies.
+ops/roi_align.py remains the portable reference implementation and the
+numerical oracle in tests.
+
+Status: compiles and is bit-exact vs the XLA gather on the real TPU, but
+per-tap row DMAs are latency-bound (measured 26.7 ms vs 1.6 ms for the
+XLA gather at 50 ROIs / 256 ch) — the XLA path stays the default. A
+faster design needs per-ROI *region* DMAs (one contiguous (h, w, C)
+bounding-window copy per ROI + VMEM-local bilinear), not per-tap copies.
 """
 
 from __future__ import annotations
@@ -29,32 +31,21 @@ from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .roi_align import _bilinear_taps, _sample_coords
+from .roi_align import _bilinear_taps, _sample_coords, multilevel_roi_align
+
+LANE = 128
 
 
-def _roi_align_kernel(
-    # scalar prefetch
-    rows_ref,  # (R, P4) int32 row index of every tap
-    # inputs
-    weights_ref,  # (P4, 1) f32 tap weights for THIS roi (blocked over grid)
-    table_ref,  # (S, C) feature rows in ANY/HBM
-    # output
-    out_ref,  # (P4, C) weighted rows for THIS roi
-    # scratch
-    row_buf,  # VMEM (2, 1, C)
-    sem,  # DMA sems (2,)
-    *,
-    num_taps: int,
-):
+def _gather_rows_kernel(rows_ref, table_ref, out_ref, row_buf, sem, *,
+                        num_taps: int):
     r = pl.program_id(0)
 
     def get_dma(slot, tap):
         return pltpu.make_async_copy(
-            table_ref.at[pl.ds(rows_ref[r, tap], 1), :],
+            table_ref.at[pl.ds(rows_ref[r, tap], 1)],
             row_buf.at[slot],
             sem.at[slot],
         )
@@ -69,9 +60,7 @@ def _roi_align_kernel(
             get_dma((tap + 1) % 2, tap + 1).start()
 
         get_dma(slot, tap).wait()
-        out_ref[pl.ds(tap, 1), :] = (
-            row_buf[slot] * weights_ref[tap, 0]
-        ).astype(out_ref.dtype)
+        out_ref[pl.ds(tap, 1)] = row_buf[slot]
         return 0
 
     jax.lax.fori_loop(0, num_taps, body, 0)
@@ -91,6 +80,11 @@ def multilevel_roi_align_pallas(
     """Same contract as ops.roi_align.multilevel_roi_align."""
     L = len(features)
     C = features[0].shape[-1]
+    if C % LANE != 0:
+        return multilevel_roi_align(features, boxes, batch_indices, levels,
+                                    scales, output_size, sampling_ratio,
+                                    aligned)
+    Cd = C // LANE
     R = boxes.shape[0]
 
     heights = jnp.array([f.shape[1] for f in features], jnp.float32)
@@ -100,6 +94,7 @@ def multilevel_roi_align_pallas(
     bases = jnp.array([sum(sizes[:i]) for i in range(L)], jnp.int32)
 
     table = jnp.concatenate([f.reshape(-1, C) for f in features], axis=0)
+    table3 = table.astype(jnp.float32).reshape(-1, Cd, LANE)
 
     lv = jnp.clip(levels, 0, L - 1)
     scale_r = jnp.take(scales_arr, lv)
@@ -124,34 +119,30 @@ def multilevel_roi_align_pallas(
     P = idx.shape[1]
     P4 = P * 4
     rows = idx.reshape(R, P4)
-    weights = w.reshape(R, P4, 1).astype(jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(R,),
-        in_specs=[
-            pl.BlockSpec((None, P4, 1), lambda r, rows: (r, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec((None, P4, C), lambda r, rows: (r, 0, 0),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((None, P4, Cd, LANE),
+                               lambda r, rows: (r, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 1, C), jnp.float32),
+            pltpu.VMEM((2, 1, Cd, LANE), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
-    weighted = pl.pallas_call(
-        functools.partial(_roi_align_kernel, num_taps=P4),
+    gathered = pl.pallas_call(
+        functools.partial(_gather_rows_kernel, num_taps=P4),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((R, P4, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((R, P4, Cd, LANE), jnp.float32),
         interpret=interpret,
-    )(rows, weights, table.astype(jnp.float32))
+    )(rows, table3)
 
-    # combine taps + average the sampling grid
+    # weights + tap combine + sampling-grid average, fused by XLA
+    vals = gathered.reshape(R, P, 4, C) * w[..., None]
+    vals = vals.sum(axis=2)
     s = sampling_ratio
     o = output_size
-    vals = weighted.reshape(R, P, 4, C).sum(axis=2)
-    vals = vals.reshape(R, o, s, o, s, C)
-    return vals.mean(axis=(2, 4))
+    return vals.reshape(R, o, s, o, s, C).mean(axis=(2, 4))

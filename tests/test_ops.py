@@ -320,7 +320,8 @@ def test_pallas_roi_align_matches_xla(monkeypatch):
     from centermask2_tpu.ops.roi_align_pallas import multilevel_roi_align_pallas
 
     rng = np.random.RandomState(8)
-    C = 8
+    C = 128  # multiple of the 128-lane tile so the kernel path (not the
+    # XLA fallback) is exercised
     f0 = rng.randn(1, 16, 16, C).astype(np.float32)
     f1 = rng.randn(1, 8, 8, C).astype(np.float32)
     boxes = np.array([[8, 8, 60, 60], [4, 4, 100, 100]], np.float32)
