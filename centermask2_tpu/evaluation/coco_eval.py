@@ -211,11 +211,16 @@ class COCOEval:
         return self._summarize()
 
     def _iou(self, dts: List[Dict], gts: List[Dict]) -> np.ndarray:
+        """IoU matrix in ORIGINAL detection order (rows = dts as given).
+
+        _match_image applies the single score-sort permutation
+        (ious[dt_order]); sorting here too would double-permute and
+        misalign rows whenever the input isn't already score-sorted —
+        which segm eval always is not, after mask_score substitution.
+        """
         if not dts or not gts:
             return np.zeros((len(dts), len(gts)))
         crowd = [int(g.get("iscrowd", 0)) for g in gts]
-        # sort dts by score desc and cap at max maxDet (COCOeval.computeIoU)
-        dts = sorted(dts, key=lambda d: -d["score"])[: max(MAX_DETS)]
         if self.iou_type == "bbox":
             d = np.array([x["bbox"] for x in dts], np.float64)
             g = np.array([x["bbox"] for x in gts], np.float64)

@@ -133,6 +133,26 @@ def test_missed_detection_lowers_ap():
     assert res_fp["AP"] < res["AP"]
 
 
+def test_unsorted_detections_match_sorted():
+    """Regression: the IoU matrix must be built in original detection
+    order so _match_image's single score-sort permutation aligns rows.
+    With the old double-permutation, 2 dts given in ascending-score order
+    scored AP=100 instead of the correct 50 (ADVICE.md round 1)."""
+    gt = make_gt()
+    # one gt (img 1, cat 7); a bad low-IoU box with HIGHER score listed
+    # after the good box -> the FP consumes rank 1, correct AP well below 100
+    good = {"image_id": 1, "category_id": 7, "bbox": [10, 10, 30, 30],
+            "score": 0.5}
+    bad = {"image_id": 1, "category_id": 7, "bbox": [60, 60, 30, 30],
+           "score": 0.9}
+    res_asc = COCOEval(gt, "bbox").evaluate([good, bad])
+    res_desc = COCOEval(gt, "bbox").evaluate([bad, good])
+    for k in res_asc:
+        assert res_asc[k] == pytest.approx(res_desc[k], nan_ok=True), k
+    # sanity: the high-scored FP caps precision at rank 1
+    assert res_asc["AP50"] < 100.0
+
+
 def test_localization_quality_graded_by_iou():
     gt = make_gt()
     # box shifted by 8px: IoU = 660/1140 ~ 0.58 - counts at 0.5, not 0.75
