@@ -27,6 +27,7 @@ def main():
     apply_platform_override()
     import jax.numpy as jnp
 
+    from centermask2_tpu.data.preprocess import stem_space_to_depth
     from centermask2_tpu.models import CenterMask
 
     edge = int(os.environ.get("BENCH_EDGE", "1344"))
@@ -38,9 +39,11 @@ def main():
         maskiou_on=True,
         post_nms_topk_test=50,
         nms_candidates=1000,
+        s2d_input=True,  # host s2d is part of preprocessing (TPU.S2D_STEM_INPUT)
     )
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(1, edge, edge, 3).astype(np.float32) * 30.0)
+    x_img = rng.randn(1, edge, edge, 3).astype(np.float32) * 30.0
+    x = jnp.asarray(stem_space_to_depth(x_img))
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
     # serve in bf16: casting 37M fp32 params to bf16 once here instead of
     # inside every forward saves ~220MB of HBM traffic per inference

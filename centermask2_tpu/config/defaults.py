@@ -34,6 +34,19 @@ _C.MODEL.BACKBONE = CN()
 _C.MODEL.BACKBONE.NAME = "build_fcos_vovnet_fpn_backbone"
 _C.MODEL.BACKBONE.FREEZE_AT = 2
 
+# ResNet bottom-up (detectron2 MODEL.RESNETS defaults, read by the
+# reference's build_fcos_resnet_fpn_backbone, ref fpn.py:56-87)
+_C.MODEL.RESNETS = CN()
+_C.MODEL.RESNETS.DEPTH = 50
+_C.MODEL.RESNETS.OUT_FEATURES = ["res3", "res4", "res5"]
+_C.MODEL.RESNETS.NORM = "FrozenBN"
+_C.MODEL.RESNETS.NUM_GROUPS = 1
+_C.MODEL.RESNETS.WIDTH_PER_GROUP = 64
+_C.MODEL.RESNETS.STRIDE_IN_1X1 = True
+_C.MODEL.RESNETS.RES5_DILATION = 1
+_C.MODEL.RESNETS.RES2_OUT_CHANNELS = 256
+_C.MODEL.RESNETS.STEM_OUT_CHANNELS = 64
+
 _C.MODEL.FPN = CN()
 _C.MODEL.FPN.IN_FEATURES = []
 _C.MODEL.FPN.OUT_CHANNELS = 256
@@ -209,6 +222,15 @@ _C.TPU.MAX_FG_PROPOSALS = 128
 _C.TPU.COMPUTE_DTYPE = "bfloat16"
 # Data-parallel mesh axis name.
 _C.TPU.MESH_AXIS = "data"
+# ROIAlign sampling ratio actually used on TPU: a fixed count (2 = round-1
+# default, fastest), or 0 = detectron2-adaptive semantics via static
+# bucket ratios {1,2,4} selected per ROI (ops/roi_align.py; ~3x gather
+# cost — use for AP-parity evaluation).
+_C.TPU.POOLER_SAMPLING_RATIO = 2
+# Feed the stem space-to-depth'd input prepared on the host
+# (data/preprocess.py:stem_space_to_depth): bit-identical outputs, no
+# MXU-hostile 3-channel conv on device. VoVNet backbones only.
+_C.TPU.S2D_STEM_INPUT = False
 # Size buckets (shortest-edge padded sizes) for batched inference.
 _C.TPU.SIZE_BUCKETS = [896, 1120, 1344]
 

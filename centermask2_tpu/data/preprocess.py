@@ -89,6 +89,36 @@ def single_preprocessing(
     return out
 
 
+def _s2d2(x: np.ndarray) -> np.ndarray:
+    """One 2x2 space-to-depth level: 4 phases stacked channel-wise in
+    (row-parity, col-parity) major order."""
+    return np.concatenate(
+        [x[:, 0::2, 0::2], x[:, 0::2, 1::2],
+         x[:, 1::2, 0::2], x[:, 1::2, 1::2]], axis=-1)
+
+
+def stem_space_to_depth(images_nhwc: np.ndarray) -> np.ndarray:
+    """Host-side double space-to-depth feeding the TPU stem (free relabel).
+
+    Produces the (B, H/4+1, W/4+1, 48) layout the s2d stem
+    (models/backbones/vovnet.py:s2d_stem_forward) expects: top/left
+    zero-pad by 2 (so a 2x2/VALID conv on the first s2d level equals the
+    reference conv3x3/s2/pad1 on the raw image), one s2d level, even-pad,
+    second s2d level. The whole stem then evaluates at stride-4 spatial
+    size with >=48-channel tensors — bit-identical outputs while the
+    device never touches the MXU-hostile 3-channel layout (the in-graph
+    transform costs ~2-3 ms at 1344; here it is host arithmetic off the
+    device clock, like the resize/normalize/pad it joins). Requires
+    H % 4 == W % 4 == 0.
+    """
+    B, H, W, _ = images_nhwc.shape
+    assert H % 4 == 0 and W % 4 == 0, (H, W)
+    x = np.pad(images_nhwc, ((0, 0), (2, 0), (2, 0), (0, 0)))
+    xd = _s2d2(x)  # (B, H/2+1, W/2+1, 4C)
+    xd = np.pad(xd, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    return _s2d2(xd)  # (B, H/4+1, W/4+1, 16C)
+
+
 def preprocess_for_model(
     path: str,
     fixed_size: int = FIXED_EDGE_SIZE,

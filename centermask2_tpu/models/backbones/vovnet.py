@@ -123,17 +123,170 @@ class _KernelParam(nn.Module):
                           jnp.float32)
 
 
+def regroup_stem1_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, C, O) conv/s2/pad1 kernel -> the equivalent (2, 2, 4C, O)
+    kernel over 2x2 space-to-depth input (zero-pad taps 3->4 at top/left:
+    conv(k4, s2, pad 2 top-left) == conv(k3, s2, pad 1), then regroup
+    tap d = 2a + p into window position a with phase-p channels)."""
+    C, O = kernel.shape[2], kernel.shape[3]
+    w4 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    w2 = w4.reshape(2, 2, 2, 2, C, O).transpose(0, 2, 1, 3, 4, 5)
+    return w2.reshape(2, 2, 4 * C, O)
+
+
+class _AffineParams(nn.Module):
+    """FrozenBN affine parameters (same names/paths as FrozenBatchNorm)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("frozen_scale", nn.initializers.ones_init(),
+                       (self.features,), jnp.float32)
+        b = self.param("frozen_bias", nn.initializers.zeros_init(),
+                       (self.features,), jnp.float32)
+        return s, b
+
+
+class _ConvNormParams(nn.Module):
+    """Parameter container with the exact conv/norm paths of ConvNormAct,
+    for stem layers whose compute is restructured (s2d_stem_forward)."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        k = _KernelParam(self.shape, name="conv")()
+        s, b = _AffineParams(self.shape[-1], name="norm")()
+        return k, s, b
+
+
+def _embed_s2d_kernel(w: jnp.ndarray, P: int, Q: int) -> jnp.ndarray:
+    """Zero-embed a (3, 3, C, O) stride-1/pad-1 kernel as the (2, 2, 4C, O)
+    kernel computing output phase (P, Q) on a 2x2-s2d input.
+
+    Output row 2i+P taps input rows 2i+P+dy-1 (dy in 0..2). Writing that
+    row as 2(i+a)+alpha, the window offsets a span {-1,0} for P=0 and
+    {0,1} for P=1; the kernel entry at window position a', input phase
+    (alpha, beta) is w[dy, dx] with dy = 2(a'+amin)+alpha-P+1 (zero when
+    dy/dx falls outside 0..2). Channel blocks are (alpha, beta)-major,
+    matching data/preprocess.py:_s2d2's phase concat order.
+    """
+    kh, kw, C, O = w.shape
+    K = jnp.zeros((2, 2, 4 * C, O), w.dtype)
+    amin = -1 if P == 0 else 0
+    bmin = -1 if Q == 0 else 0
+    for ap in range(2):
+        for bp in range(2):
+            for alpha in range(2):
+                for beta in range(2):
+                    dy = 2 * (ap + amin) + alpha - P + 1
+                    dx = 2 * (bp + bmin) + beta - Q + 1
+                    if 0 <= dy < kh and 0 <= dx < kw:
+                        blk = (alpha * 2 + beta) * C
+                        K = K.at[ap, bp, blk:blk + C, :].set(w[dy, dx])
+    return K
+
+
+def _embed_stem1_kernel(w2: jnp.ndarray, p: int, q: int) -> jnp.ndarray:
+    """Zero-embed the regrouped stem_1 kernel w2 (2, 2, 12, O) — a
+    2x2/VALID conv on the first s2d level xd — as the (2, 2, 48, O)
+    kernel computing y1 phase (p, q) on the second s2d level xd2.
+
+    y1 row 2i+p taps xd rows 2i+p+t (t in 0..1) = 2(i+a)+alpha with
+    window base a=0; entry at window position a', xd phase (alpha, beta)
+    is w2[t_r, t_c] with t_r = 2a'+alpha-p (zero outside 0..1).
+    """
+    _, _, C12, O = w2.shape
+    K = jnp.zeros((2, 2, 4 * C12, O), w2.dtype)
+    for ap in range(2):
+        for bp in range(2):
+            for alpha in range(2):
+                for beta in range(2):
+                    tr = 2 * ap + alpha - p
+                    tc = 2 * bp + beta - q
+                    if 0 <= tr < 2 and 0 <= tc < 2:
+                        blk = (alpha * 2 + beta) * C12
+                        K = K.at[ap, bp, blk:blk + C12, :].set(w2[tr, tc])
+    return K
+
+
+def _conv2x2_valid(x: jnp.ndarray, k: jnp.ndarray, dtype) -> jnp.ndarray:
+    return jax.lax.conv_general_dilated(
+        x.astype(dtype), k.astype(dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def s2d_stem_forward(xd2, k1, k2, k3, dtype) -> jnp.ndarray:
+    """The full VoVNet stem evaluated in space-to-depth coordinates.
+
+    Rationale: at 1344 input the reference stem (conv3x3/s2 on 3 channels
+    -> conv3x3 on 64 -> conv3x3/s2 to 128; reference vovnet.py:432-436)
+    profiles at ~2.4 ms on TPU — the 3-channel conv wastes the 128-lane
+    MXU and the 64-channel/672^2 intermediates trigger ~0.9 ms of XLA
+    layout copies. Evaluated on the host's double-s2d input
+    (B, H/4+1, W/4+1, 48), every tensor in the stem lives at stride-4
+    spatial size with 48-256 channels and all three convs become 2x2
+    convs with zero-embedded kernels (exact math, ~16/9 redundant FLOPs
+    on stem_2/3, still ~4x faster end to end). Output equals the plain
+    stem bit-for-bit up to f32/bf16 rounding; parameters are the logical
+    (3, 3, Cin, Cout) kernels, so checkpoints convert unchanged.
+
+    xd2: (B, Hd, Wd, 48) from stem_space_to_depth; k1/k2/k3:
+    (kernel, frozen_scale, frozen_bias) tuples. Returns the stem output
+    (B, Hd-1, Wd-1, C3) in plain NHWC layout.
+    """
+    w1, s1, b1 = k1
+    w2, s2, b2 = k2
+    w3, s3, b3 = k3
+
+    def affine_relu(y, s, b):
+        return jax.nn.relu(y * s.astype(y.dtype) + b.astype(y.dtype))
+
+    # stem_1: 4 output phases of y1 (the conv3x3/s2/p1 on the image),
+    # computed straight from xd2 (window base a=0 -> no input padding)
+    w1r = regroup_stem1_kernel(w1)  # (2, 2, 12, C1)
+    y1_phases = [
+        affine_relu(_conv2x2_valid(xd2, _embed_stem1_kernel(w1r, p, q), dtype),
+                    s1, b1)
+        for p in (0, 1) for q in (0, 1)
+    ]
+    y1d = jnp.concatenate(y1_phases, axis=-1)  # (B, Hd-1, Wd-1, 4*C1)
+
+    # stem_2: conv3x3/s1/p1 in s2d space — 4 phase convs over the
+    # 1-padded y1d (zero rows/cols of y1d are exactly y1's conv padding)
+    y1p = jnp.pad(y1d, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    h, w = y1d.shape[1], y1d.shape[2]
+    y2_phases = [
+        affine_relu(
+            _conv2x2_valid(y1p[:, P:P + h + 1, Q:Q + w + 1, :],
+                           _embed_s2d_kernel(w2, P, Q), dtype),
+            s2, b2)
+        for P in (0, 1) for Q in (0, 1)
+    ]
+    y2d = jnp.concatenate(y2_phases, axis=-1)  # (B, Hd-1, Wd-1, 4*C2)
+
+    # stem_3: conv3x3/s2/p1 — its stride-2 output lands exactly on the
+    # s2d grid: one phase-(0,0) conv, plain NHWC result
+    y2p = jnp.pad(y2d, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y3 = _conv2x2_valid(y2p[:, :h + 1, :w + 1, :],
+                        _embed_s2d_kernel(w3, 0, 0), dtype)
+    return affine_relu(y3, s3, b3)
+
+
 class S2DStemConv(nn.Module):
     """stem_1 as a space-to-depth conv — exact math rewrite.
 
     The reference stem_1 (conv 3x3/s2 on the 3-channel image,
     vovnet.py:432) is pathological on the MXU: 3 input channels use 2% of
     the 128-lane systolic array, and the profiler shows it plus its layout
-    copies costing ~2 ms at 1344 input. The identical operator expressed
+    copies costing ~1.6 ms at 1344 input. The identical operator expressed
     on space-to-depth-transformed input (2x2 blocks -> 12 channels,
     kernel zero-padded 3->4 then regrouped to 2x2x12) keeps the exact
     output while quadrupling MXU lane utilization. The parameter is still
     the logical (3, 3, 3, C) kernel, so checkpoints convert unchanged.
+
+    (For the host-side space-to-depth input path, see s2d_stem_forward.)
     """
 
     features: int
@@ -142,18 +295,12 @@ class S2DStemConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        N, H, W, C = x.shape
+        C = x.shape[-1]
         kernel = _KernelParam((3, 3, C, self.features), name="conv")()
         dtype = self.dtype or x.dtype
-        # zero-pad kernel 3->4 at top/left: conv(k4, s2, pad 2 top-left)
-        # == conv(k3, s2, pad 1)
-        w4 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
-        # regroup taps (d = 2a + p) to a 2x2 kernel over (p, q, c) channels
-        O = self.features
-        w2 = w4.reshape(2, 2, 2, 2, C, O).transpose(0, 2, 1, 3, 4, 5)
-        w2 = w2.reshape(2, 2, 4 * C, O)
+        w2 = regroup_stem1_kernel(kernel)
         # space-to-depth the (top/left zero-padded) image via strided
-        # slices (a transpose+reshape here lowers to a ~2 ms relayout copy)
+        # slices (a transpose+reshape lowers to a ~2 ms relayout copy)
         xp = jnp.pad(x, ((0, 0), (2, 0), (2, 0), (0, 0)))
         xd = jnp.concatenate(
             [xp[:, 0::2, 0::2, :], xp[:, 0::2, 1::2, :],
@@ -211,6 +358,13 @@ class OSAModule(nn.Module):
                 )(x)
             outputs.append(x)
 
+        # NOTE(perf): a "segment-wise aggregation" rewrite (sum of
+        # per-segment 1x1 matmuls instead of concat + one conv) was
+        # measured SLOWER (1.8 ms vs 0.4 ms for OSA2_1 at 1344): XLA
+        # materializes each f32 partial product, while the concat layout
+        # lets every layer conv write straight into its slice of the
+        # concat buffer (the DUS fusions in the profile) — already
+        # optimal HBM traffic.
         x = jnp.concatenate(outputs, axis=-1)
         xt = ConvNormAct(
             self.concat_ch, kernel_size=(1, 1), padding=(0, 0),
@@ -236,6 +390,11 @@ class VoVNet(nn.Module):
     # transform lowers to a reshape+copy (~3 ms at 1344) that costs
     # more than the small-channel conv it replaces.
     space_to_depth_stem: bool = False
+    # Input is double space-to-depth'd on the host (B, H/4+1, W/4+1, 48;
+    # data/preprocess.py:stem_space_to_depth); the whole stem evaluates in
+    # s2d coordinates (s2d_stem_forward) with no device-side relayout.
+    # Non-depthwise variants only.
+    s2d_input: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -246,22 +405,33 @@ class VoVNet(nn.Module):
 
         # Stem: conv3x3/s2, conv/s1, conv/s2 (vovnet.py:432-436). The first
         # stem conv is always a standard conv even in dw variants.
-        if self.space_to_depth_stem and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
-            x = S2DStemConv(stem_ch[0], norm=self.norm, dtype=self.dtype,
-                            name="stem_1")(x)
+        if self.s2d_input:
+            assert not depthwise, "s2d stem supports standard convs only"
+            assert self.norm == "FrozenBN", self.norm
+            k1 = _ConvNormParams((3, 3, x.shape[-1] // 16, stem_ch[0]),
+                                 name="stem_1")()
+            k2 = _ConvNormParams((3, 3, stem_ch[0], stem_ch[1]),
+                                 name="stem_2")()
+            k3 = _ConvNormParams((3, 3, stem_ch[1], stem_ch[2]),
+                                 name="stem_3")()
+            x = s2d_stem_forward(x, k1, k2, k3, self.dtype or x.dtype)
         else:
-            x = ConvNormAct(stem_ch[0], strides=(2, 2), norm=self.norm,
-                            dtype=self.dtype, name="stem_1")(x)
-        if depthwise:
-            x = DWConvBlock(stem_ch[1], norm=self.norm, dtype=self.dtype,
-                            name="stem_2")(x)
-            x = DWConvBlock(stem_ch[2], strides=(2, 2), norm=self.norm,
-                            dtype=self.dtype, name="stem_3")(x)
-        else:
-            x = ConvNormAct(stem_ch[1], norm=self.norm, dtype=self.dtype,
-                            name="stem_2")(x)
-            x = ConvNormAct(stem_ch[2], strides=(2, 2), norm=self.norm,
-                            dtype=self.dtype, name="stem_3")(x)
+            if self.space_to_depth_stem and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+                x = S2DStemConv(stem_ch[0], norm=self.norm, dtype=self.dtype,
+                                name="stem_1")(x)
+            else:
+                x = ConvNormAct(stem_ch[0], strides=(2, 2), norm=self.norm,
+                                dtype=self.dtype, name="stem_1")(x)
+            if depthwise:
+                x = DWConvBlock(stem_ch[1], norm=self.norm, dtype=self.dtype,
+                                name="stem_2")(x)
+                x = DWConvBlock(stem_ch[2], strides=(2, 2), norm=self.norm,
+                                dtype=self.dtype, name="stem_3")(x)
+            else:
+                x = ConvNormAct(stem_ch[1], norm=self.norm, dtype=self.dtype,
+                                name="stem_2")(x)
+                x = ConvNormAct(stem_ch[2], strides=(2, 2), norm=self.norm,
+                                dtype=self.dtype, name="stem_3")(x)
 
         outputs: Dict[str, jnp.ndarray] = {}
         if "stem" in self.out_features:

@@ -78,10 +78,8 @@ def decode_single_image(
 ) -> DecodedProposals:
     """Reference forward_for_single_feature_map + select_over_all_levels
     (fcos_outputs.py:396-495), re-derived for fixed shapes."""
-    cand_boxes, cand_scores, cand_cls, cand_locs, cand_valid = [], [], [], [], []
-
-    for lvl, (locs, lg, rg, ct) in enumerate(zip(locations, logits, reg, ctrness)):
-        C = lg.shape[-1]
+    masked_levels = []
+    for lvl, (lg, ct) in enumerate(zip(logits, ctrness)):
         # The per-pixel (HW, C) stage stays in the head's compute dtype
         # (bf16 halves the HBM traffic of this bandwidth-bound pass);
         # everything after the top-k gather is fp32.
@@ -93,16 +91,73 @@ def decode_single_image(
         candidate_mask = cls_sig > pre_nms_thresh
         if not thresh_with_ctr:
             cls_sig = cls_sig * ctr_sig[:, None]
+        masked_levels.append(jnp.where(
+            candidate_mask, cls_sig, jnp.asarray(-1.0, cls_sig.dtype)))
 
-        k = min(pre_nms_topk, cls_sig.size)
+    C = logits[0].shape[-1]
+    if nms_candidates <= pre_nms_topk:
+        # Fused cross-level selection. The final NMS working set is the
+        # global top-K (K = nms_candidates) candidate (location, class)
+        # pairs by score: every such pair sits inside its own level's
+        # top-K (anything outranked by K pairs within one level is
+        # outranked by K pairs globally), so per-level top-k followed by
+        # the global cap selects the identical set — but needs 2 top-k
+        # reductions instead of 12 (two per level plus the cap; each
+        # costs 0.1-0.2 ms on TPU regardless of size, ~0.7 ms/img total
+        # at 1344 in the round-2 profile).
+        scores_cat = jnp.concatenate(masked_levels, axis=0)  # (L, C)
+        loc_best = jnp.max(scores_cat, axis=1)  # (L,)
+        locs_cat = jnp.concatenate(locations, axis=0)
+        reg_cat = jnp.concatenate(
+            [r.astype(jnp.float32) * strides[lvl]
+             for lvl, r in enumerate(reg)], axis=0)
+        K = min(nms_candidates, scores_cat.size)
+        k_loc = min(K, loc_best.shape[0])
+        # a pair in the global top-K implies its location is in the
+        # top-K locations by max-class score (its max dominates it)
+        _, top_locs = _top_k(loc_best, k_loc, approx_topk)
+        rows = jnp.take(scores_cat, top_locs, axis=0).astype(jnp.float32)
+        vals, flat_idx = _top_k(rows.reshape(-1), min(K, rows.size),
+                                approx_topk)
+        valid = vals > 0.0
+        loc_idx = jnp.take(top_locs, flat_idx // C)
+        cls_idx = flat_idx % C
+
+        per_locs = jnp.take(locs_cat, loc_idx, axis=0)  # (K, 2)
+        per_reg = jnp.take(reg_cat, loc_idx, axis=0)
+        boxes = jnp.stack(
+            [
+                per_locs[:, 0] - per_reg[:, 0],
+                per_locs[:, 1] - per_reg[:, 1],
+                per_locs[:, 0] + per_reg[:, 2],
+                per_locs[:, 1] + per_reg[:, 3],
+            ],
+            axis=1,
+        )
+        scores = jnp.where(valid, jnp.sqrt(jnp.maximum(vals, 0.0)), 0.0)
+        classes = cls_idx.astype(jnp.int32)
+        keep_idx, keep_valid = nms_select(boxes, scores, classes, valid,
+                                          nms_thresh, post_nms_topk)
+        return DecodedProposals(
+            pred_boxes=jnp.take(boxes, keep_idx, axis=0),
+            scores=jnp.where(keep_valid, jnp.take(scores, keep_idx), 0.0),
+            pred_classes=jnp.take(classes, keep_idx),
+            locations=jnp.take(per_locs, keep_idx, axis=0),
+            valid=keep_valid,
+        )
+
+    # Per-level path (reference-literal): needed when nms_candidates >
+    # pre_nms_topk, where the per-level caps bind individually.
+    cand_boxes, cand_scores, cand_cls, cand_locs, cand_valid = [], [], [], [], []
+    for lvl, (locs, masked_scores, rg) in enumerate(
+            zip(locations, masked_levels, reg)):
+        k = min(pre_nms_topk, masked_scores.size)
         # Exact top-k over (HW*C) in two stages: first rank locations by
         # their best masked class score (a location contributing any
         # global-top-k pair must be in the top-k locations by max — its
         # max dominates that pair), then re-rank the survivors' full
         # class rows. Cuts the big sort from HW*C to HW elements
         # (80x for COCO), the decode hot spot on TPU.
-        masked_scores = jnp.where(candidate_mask, cls_sig,
-                                  jnp.asarray(-1.0, cls_sig.dtype))  # (HW, C)
         k_loc = min(k, masked_scores.shape[0])
         loc_best = jnp.max(masked_scores, axis=1)  # (HW,)
         _, top_locs = _top_k(loc_best, k_loc, approx_topk)  # (k_loc,)

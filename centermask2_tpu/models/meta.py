@@ -20,8 +20,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from centermask2_tpu.config import CfgNode
-from centermask2_tpu.models.backbones import FPN, MobileNetV2, VoVNet
+from centermask2_tpu.models.backbones import FPN, MobileNetV2, ResNet, VoVNet
 from centermask2_tpu.models.backbones import vovnet as vovnet_lib
+from centermask2_tpu.models.backbones.resnet import RESNET_FEATURE_STRIDES
 from centermask2_tpu.models.fcos import (
     FCOSHead,
     assign_targets_single_image,
@@ -60,12 +61,21 @@ class GroundTruth(NamedTuple):
     valid: jnp.ndarray  # (B, G) bool
     mask_patches: jnp.ndarray  # (B, G, P, P) float {0,1}, rasterized on gt box
     keypoints: Optional[jnp.ndarray] = None  # (B, G, 17, 3) x, y, vis
+    image_sizes: Optional[jnp.ndarray] = None  # (B, 2) true (h, w) pre-pad
 
 
 class CenterMask(nn.Module):
     # backbone
-    backbone_type: str = "vovnet"  # "vovnet" | "mobilenet"
+    backbone_type: str = "vovnet"  # "vovnet" | "mobilenet" | "resnet"
     conv_body: str = "V-39-eSE"
+    resnet_depth: int = 50
+    resnet_norm: str = "FrozenBN"
+    resnet_num_groups: int = 1
+    resnet_width_per_group: int = 64
+    resnet_stride_in_1x1: bool = True
+    resnet_res5_dilation: int = 1
+    resnet_res2_out_channels: int = 256
+    resnet_stem_out_channels: int = 64
     backbone_norm: str = "FrozenBN"
     fpn_in_features: Sequence[str] = ("stage3", "stage4", "stage5")
     fpn_out_channels: int = 256
@@ -111,12 +121,16 @@ class CenterMask(nn.Module):
     roi_in_strides: Sequence[int] = (8, 16, 32)
     assign_criterion: str = "ratio"
     pooler_resolution: int = 14
+    pooler_sampling_ratio: int = 2  # 0 = adaptive (bucketed), d2 default
     mask_norm: str = ""
     cls_agnostic_mask: bool = False
     # training capacities
     batch_size_per_image: int = 512
     positive_fraction: float = 0.25
     max_fg_proposals: int = 128
+    # input layout: images are host space-to-depth'd (B, H/4+1, W/4+1, 48)
+    # via data/preprocess.py:stem_space_to_depth (vovnet, non-dw only)
+    s2d_input: bool = False
     # compute
     dtype: Any = jnp.bfloat16
 
@@ -124,17 +138,31 @@ class CenterMask(nn.Module):
         if self.backbone_type == "mobilenet":
             self.backbone = MobileNetV2(
                 out_features=tuple(self.fpn_in_features), dtype=self.dtype)
+        elif self.backbone_type == "resnet":
+            # reference build_fcos_resnet_fpn_backbone (fpn.py:56-87)
+            self.backbone = ResNet(
+                depth=self.resnet_depth,
+                out_features=tuple(self.fpn_in_features),
+                norm=self.resnet_norm,
+                num_groups=self.resnet_num_groups,
+                width_per_group=self.resnet_width_per_group,
+                stride_in_1x1=self.resnet_stride_in_1x1,
+                res5_dilation=self.resnet_res5_dilation,
+                res2_out_channels=self.resnet_res2_out_channels,
+                stem_out_channels=self.resnet_stem_out_channels,
+                dtype=self.dtype)
         else:
             self.backbone = VoVNet(
                 body=self.conv_body, out_features=tuple(self.fpn_in_features),
                 norm=self.backbone_norm,
                 stage_with_dcn=tuple(self.stage_with_dcn),
                 with_modulated_dcn=self.with_modulated_dcn,
+                s2d_input=self.s2d_input,
                 dtype=self.dtype)
         if self.backbone_type == "vovnet":
             strides_map = vovnet_lib.FEATURE_STRIDES
-        else:
-            strides_map = {"res2": 4, "res3": 8, "res4": 16, "res5": 32}
+        else:  # resnet / mobilenet both use res{2..5} naming
+            strides_map = RESNET_FEATURE_STRIDES
         in_strides = [strides_map[f] for f in self.fpn_in_features]
         top_block = {2: "p6p7", 1: "p6", 0: None}[self.top_levels]
         self.fpn = FPN(
@@ -154,6 +182,7 @@ class CenterMask(nn.Module):
             keypoint_on=self.keypoint_on,
             assign_criterion=self.assign_criterion,
             pooler_resolution=self.pooler_resolution,
+            sampling_ratio=self.pooler_sampling_ratio,
             mask_norm=self.mask_norm, cls_agnostic_mask=self.cls_agnostic_mask,
             dtype=self.dtype)
 
@@ -197,6 +226,8 @@ class CenterMask(nn.Module):
         true (h, w) per image (defaults to the padded size, matching the
         reference's FakeImageList deployment contract)."""
         B, H, W, _ = images.shape
+        if self.s2d_input:  # (H/4+1, W/4+1) s2d grid -> original canvas
+            H, W = (H - 1) * 4, (W - 1) * 4
         if image_sizes is None:
             image_sizes = jnp.tile(jnp.array([[H, W]], jnp.float32), (B, 1))
         feats = self.features(images)
@@ -253,6 +284,8 @@ class CenterMask(nn.Module):
              ) -> Dict[str, jnp.ndarray]:
         """Training losses (FCOS + mask + maskiou)."""
         B, H, W, _ = images.shape
+        if self.s2d_input:
+            H, W = (H - 1) * 4, (W - 1) * 4
         feats = self.features(images)
         locations, logits, reg, ctr = self._fcos_raw(feats)
 
@@ -324,7 +357,14 @@ class CenterMask(nn.Module):
         flat_fg_classes = jnp.clip(fg_classes.reshape(B * F), 0,
                                    self.num_classes - 1)
         batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), F)
-        img_areas = jnp.full((B * F,), float(H * W), jnp.float32)
+        # ratio-criterion ROI level assignment uses true per-image areas,
+        # matching the inference path and the reference's training-time
+        # image sizes (ADVICE round 1); padded canvas only as fallback
+        if gt.image_sizes is not None:
+            areas = (gt.image_sizes[:, 0] * gt.image_sizes[:, 1])
+            img_areas = jnp.repeat(areas.astype(jnp.float32), F)
+        else:
+            img_areas = jnp.full((B * F,), float(H * W), jnp.float32)
 
         roi_features = [feats[f] for f in self.roi_in_features]
         if not self.mask_on:
@@ -460,6 +500,10 @@ def build_centermask(cfg: CfgNode) -> CenterMask:
     if "mobilenet" in backbone_name or cfg.MODEL.MOBILENET:
         backbone_type = "mobilenet"
         fpn_in = tuple(cfg.MODEL.FPN.IN_FEATURES)
+    elif "resnet" in backbone_name:
+        backbone_type = "resnet"
+        fpn_in = tuple(cfg.MODEL.FPN.IN_FEATURES) or \
+            tuple(cfg.MODEL.RESNETS.OUT_FEATURES)
     else:
         backbone_type = "vovnet"
         fpn_in = tuple(cfg.MODEL.FPN.IN_FEATURES) or ("stage3", "stage4", "stage5")
@@ -469,6 +513,14 @@ def build_centermask(cfg: CfgNode) -> CenterMask:
         backbone_type=backbone_type,
         conv_body=cfg.MODEL.VOVNET.CONV_BODY,
         backbone_norm=cfg.MODEL.VOVNET.NORM,
+        resnet_depth=cfg.MODEL.RESNETS.DEPTH,
+        resnet_norm=cfg.MODEL.RESNETS.NORM,
+        resnet_num_groups=cfg.MODEL.RESNETS.NUM_GROUPS,
+        resnet_width_per_group=cfg.MODEL.RESNETS.WIDTH_PER_GROUP,
+        resnet_stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1,
+        resnet_res5_dilation=cfg.MODEL.RESNETS.RES5_DILATION,
+        resnet_res2_out_channels=cfg.MODEL.RESNETS.RES2_OUT_CHANNELS,
+        resnet_stem_out_channels=cfg.MODEL.RESNETS.STEM_OUT_CHANNELS,
         fpn_in_features=fpn_in,
         fpn_out_channels=cfg.MODEL.FPN.OUT_CHANNELS,
         fpn_norm=cfg.MODEL.FPN.NORM,
@@ -512,10 +564,12 @@ def build_centermask(cfg: CfgNode) -> CenterMask:
             for f in cfg.MODEL.ROI_HEADS.IN_FEATURES),
         assign_criterion=cfg.MODEL.ROI_MASK_HEAD.ASSIGN_CRITERION,
         pooler_resolution=cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION,
+        pooler_sampling_ratio=cfg.TPU.POOLER_SAMPLING_RATIO,
         mask_norm=cfg.MODEL.ROI_MASK_HEAD.NORM,
         cls_agnostic_mask=cfg.MODEL.ROI_MASK_HEAD.CLS_AGNOSTIC_MASK,
         batch_size_per_image=cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
         positive_fraction=cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION,
         max_fg_proposals=cfg.TPU.MAX_FG_PROPOSALS,
+        s2d_input=(cfg.TPU.S2D_STEM_INPUT and backbone_type == "vovnet"),
         dtype=dtype,
     )

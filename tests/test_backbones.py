@@ -137,6 +137,28 @@ def test_mobilenetv2_shapes():
     assert out["res5"].shape == (1, 7, 7, 320)
 
 
+def test_host_s2d_input_matches_plain_backbone():
+    """VoVNet(s2d_input=True) on host space-to-depth'd input must equal
+    the plain backbone on the raw image (same params)."""
+    from centermask2_tpu.data.preprocess import stem_space_to_depth
+    from centermask2_tpu.models.backbones import VoVNet
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(1, 64, 64, 3).astype(np.float32) * 10
+    plain = VoVNet(body="V-19-slim-eSE", dtype=jnp.float32)
+    s2d = VoVNet(body="V-19-slim-eSE", s2d_input=True, dtype=jnp.float32)
+    params = plain.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    xd = jnp.asarray(stem_space_to_depth(x))
+    assert xd.shape == (1, 17, 17, 48)
+    out_p = plain.apply(params, jnp.asarray(x))
+    out_s = s2d.apply(params, xd)
+    for k in out_p:
+        # zero-embedded kernels change the f32 accumulation order ->
+        # ~1e-5-level noise on isolated elements, nothing structural
+        np.testing.assert_allclose(np.asarray(out_s[k]), np.asarray(out_p[k]),
+                                   rtol=3e-4, atol=5e-5)
+
+
 def test_s2d_stem_exactly_matches_plain_conv_stem():
     """The space-to-depth stem rewrite must be numerically identical to the
     plain conv3x3/s2 stem (same params)."""

@@ -152,6 +152,44 @@ def _np_assign_oracle(locs, strides_per_loc, ranges, gt_boxes, gt_classes,
     return labels, regs
 
 
+def test_fused_decode_equals_per_level_path():
+    """The fused cross-level top-k (nms_candidates <= pre_nms_topk) must
+    select the identical candidate set as the reference-literal per-level
+    path when neither cap binds (exact top-k)."""
+    rng = np.random.RandomState(7)
+    C = 6
+    shapes = [(8, 8), (4, 4), (2, 2)]
+    strides = [8, 16, 32]
+    locs, logits, reg, ctr = [], [], [], []
+    for (h, w), s in zip(shapes, strides):
+        locs.append(jnp.asarray(compute_locations_per_level(h, w, s)))
+        lg = rng.randn(h * w, C).astype(np.float32) - 4.0
+        hot = rng.choice(h * w * C, min(8, h * w), replace=False)
+        lg.reshape(-1)[hot] += 7.0
+        logits.append(jnp.asarray(lg))
+        reg.append(jnp.asarray(np.abs(rng.randn(h * w, 4)).astype(np.float32) * 2))
+        ctr.append(jnp.asarray(rng.randn(h * w).astype(np.float32)))
+
+    kwargs = dict(pre_nms_thresh=0.05, nms_thresh=0.6, post_nms_topk=20)
+    fused = decode_single_image(locs, logits, reg, ctr, strides,
+                                pre_nms_topk=400, nms_candidates=100, **kwargs)
+    per_level = decode_single_image(locs, logits, reg, ctr, strides,
+                                    pre_nms_topk=400, nms_candidates=500,
+                                    **kwargs)
+    n_f = int(np.asarray(fused.valid).sum())
+    n_p = int(np.asarray(per_level.valid).sum())
+    assert n_f == n_p and n_f > 0
+    np.testing.assert_allclose(np.asarray(fused.scores)[:n_f],
+                               np.asarray(per_level.scores)[:n_f], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(fused.pred_boxes)[:n_f],
+                               np.asarray(per_level.pred_boxes)[:n_f],
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(fused.pred_classes)[:n_f],
+                                  np.asarray(per_level.pred_classes)[:n_f])
+    np.testing.assert_allclose(np.asarray(fused.locations)[:n_f],
+                               np.asarray(per_level.locations)[:n_f])
+
+
 def test_assignment_matches_numpy_oracle():
     rng = np.random.RandomState(1)
     locs_l0 = np.asarray(compute_locations_per_level(8, 8, 8))
@@ -255,6 +293,54 @@ def test_fcos_losses_psum_normalizers():
     # device 1 (no positives) still has nonzero cls loss normalized by 4.
     cls = np.asarray(out["loss_fcos_cls"])
     assert np.isfinite(cls).all() and cls[1] > 0
+
+
+def test_heatmaps_to_keypoints_matches_torch_oracle():
+    """Static-grid decode vs the exact detectron2 algorithm (per-ROI
+    bicubic resize to ceil-pixel size, argmax, half-pixel offset) run in
+    torch. Positions must agree within one native heatmap cell."""
+    import torch
+    import torch.nn.functional as TF
+
+    from centermask2_tpu.models.roi.keypoint_head import heatmaps_to_keypoints
+
+    rng = np.random.RandomState(0)
+    S, K = 56, 3
+    boxes = np.array([[12.0, 8.0, 60.0, 66.0],
+                      [100.0, 40.0, 148.0, 105.0]], np.float32)
+    # smooth single-peak heatmaps so argmax is stable across resamplers
+    maps = np.zeros((2, S, S, K), np.float32)
+    yy, xx = np.mgrid[0:S, 0:S]
+    peaks = []
+    for r in range(2):
+        for k in range(K):
+            cy, cx = rng.uniform(8, S - 8, 2)
+            maps[r, :, :, k] = 5 * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2)
+                                          / (2 * 6.0 ** 2))
+            peaks.append((cy, cx))
+
+    got = np.asarray(heatmaps_to_keypoints(jnp.asarray(maps),
+                                           jnp.asarray(boxes)))
+
+    # d2 oracle (heatmaps_to_keypoints, detectron2 structures/keypoints)
+    t_maps = torch.from_numpy(maps).permute(0, 3, 1, 2)
+    for r in range(2):
+        x0, y0, x1, y1 = boxes[r]
+        w, h = max(x1 - x0, 1), max(y1 - y0, 1)
+        wc, hc = int(np.ceil(w)), int(np.ceil(h))
+        roi_map = TF.interpolate(t_maps[r:r + 1], size=(hc, wc),
+                                 mode="bicubic", align_corners=False)[0]
+        for k in range(K):
+            pos = roi_map[k].reshape(-1).argmax().item()
+            xi, yi = pos % wc, pos // wc
+            ox = x0 + (xi + 0.5) * w / wc
+            oy = y0 + (yi + 0.5) * h / hc
+            # tolerance: one native cell + one fixed-grid cell
+            tol_x = w / wc + w / 112 + 1e-3
+            tol_y = h / hc + h / 112 + 1e-3
+            assert abs(got[r, k, 0] - ox) <= tol_x, (r, k, got[r, k], ox)
+            assert abs(got[r, k, 1] - oy) <= tol_y, (r, k, got[r, k], oy)
+            assert 0.0 < got[r, k, 3] <= 1.0
 
 
 def test_keypoints_to_heatmap_d2_semantics():

@@ -58,6 +58,7 @@ def summarize(trace_dir: str, runs: int, top: int, hlo_text: str = ""):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config-file", default=None)
+    p.add_argument("--batch", type=int, default=1)
     p.add_argument("--runs", type=int, default=3)
     p.add_argument("--top", type=int, default=25)
     p.add_argument("--trace-dir", default=None)
@@ -82,8 +83,17 @@ def main():
     model = build_centermask(cfg)
     fixed = cfg.TPU.FIXED_EDGE_SIZE
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(1, fixed, fixed, 3).astype(np.float32) * 30)
+    x_img = rng.randn(args.batch, fixed, fixed, 3).astype(np.float32) * 30
+    if model.s2d_input:
+        from centermask2_tpu.data.preprocess import stem_space_to_depth
+        x_img = stem_space_to_depth(x_img)
+    x = jnp.asarray(x_img)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    # serve in bf16 like bench.py so the profile reflects the benched graph
+    if os.environ.get("CM2_PROFILE_F32_PARAMS") != "1":
+        params = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+            params)
     fn = jax.jit(lambda p, im: model.apply(p, im))
     out = fn(params, x)
     jax.block_until_ready(out)
