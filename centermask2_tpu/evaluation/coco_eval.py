@@ -229,6 +229,18 @@ class COCOEval:
         g_rles = [self.gt.ann_rle(x) for x in gts]
         return rle_lib.iou(d_rles, g_rles, crowd)
 
+    def per_category_ap(self, max_det: int = 100) -> Dict[str, float]:
+        """Per-category AP table (reference coco_evaluation.py:345-356)."""
+        a = list(AREA_RNG.keys()).index("all")
+        m = MAX_DETS.index(max_det)
+        out = {}
+        for k, cat_id in enumerate(self.cat_ids):
+            p = self.precision[:, :, k, a, m]
+            p = p[p > -1]
+            name = self.gt.cats[cat_id].get("name", str(cat_id))
+            out[name] = float(np.mean(p)) * 100 if p.size else float("nan")
+        return out
+
     def _summarize(self) -> Dict[str, float]:
         def s_ap(iou_thr=None, area="all", max_det=100):
             a = list(AREA_RNG.keys()).index(area)
@@ -260,6 +272,98 @@ class COCOEval:
         }
 
 
+PROPOSAL_AREAS = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32.0**2),
+    "medium": (32.0**2, 96.0**2),
+    "large": (96.0**2, 1e10),
+    "96-128": (96.0**2, 128.0**2),
+    "128-256": (128.0**2, 256.0**2),
+    "256-512": (256.0**2, 512.0**2),
+    "512-inf": (512.0**2, 1e10),
+}
+
+
+def evaluate_box_proposals(
+    proposals: Dict[int, Dict[str, np.ndarray]],
+    gt: COCOGt,
+    limit: int = 100,
+    area: str = "all",
+) -> Dict[str, np.ndarray]:
+    """Class-agnostic proposal recall (AR@limit), the reference's
+    _evaluate_box_proposals (coco_evaluation.py:432-540).
+
+    proposals: image_id -> {"boxes": (N, 4) xyxy, "objectness": (N,)}.
+    For each image, proposals are score-sorted and capped at ``limit``;
+    each non-crowd, area-filtered gt greedily takes its best remaining
+    proposal (global max-IoU pairing); AR averages recall over IoU
+    thresholds 0.5:0.05:0.95.
+    """
+    area_rng = PROPOSAL_AREAS[area]
+    gt_overlaps: List[np.ndarray] = []
+    num_pos = 0
+    for img_id in sorted(gt.imgs.keys()):
+        entry = proposals.get(img_id)
+        anns = gt.img_to_anns.get(img_id, [])
+        gt_boxes = np.array(
+            [[a["bbox"][0], a["bbox"][1],
+              a["bbox"][0] + a["bbox"][2], a["bbox"][1] + a["bbox"][3]]
+             for a in anns if not a.get("iscrowd", 0)
+             and area_rng[0] <= a["area"] <= area_rng[1]],
+            np.float64).reshape(-1, 4)
+        num_pos += len(gt_boxes)
+        if len(gt_boxes) == 0 or entry is None or len(entry["boxes"]) == 0:
+            continue
+        order = np.argsort(-np.asarray(entry["objectness"], np.float64),
+                           kind="stable")[:limit]
+        boxes = np.asarray(entry["boxes"], np.float64)[order]
+        # xyxy -> xywh for the shared IoU kernel
+        d = boxes.copy(); d[:, 2:] -= d[:, :2]
+        g = gt_boxes.copy(); g[:, 2:] -= g[:, :2]
+        overlaps = rle_lib.bbox_iou(d, g, [0] * len(g))
+
+        matched = np.zeros(len(gt_boxes))
+        ov = overlaps.copy()
+        for _ in range(min(len(boxes), len(gt_boxes))):
+            argmax = ov.argmax()
+            di, gi = np.unravel_index(argmax, ov.shape)
+            if ov[di, gi] < 0:
+                break
+            matched[gi] = ov[di, gi]
+            ov[di, :] = -1
+            ov[:, gi] = -1
+        gt_overlaps.append(matched)
+
+    gt_overlaps = (np.concatenate(gt_overlaps)
+                   if gt_overlaps else np.zeros(0, np.float64))
+    gt_overlaps = np.sort(gt_overlaps)
+    thresholds = np.arange(0.5, 0.95 + 1e-5, 0.05)
+    recalls = np.array(
+        [(gt_overlaps >= t).sum() / float(max(num_pos, 1))
+         for t in thresholds])
+    return {
+        "ar": float(recalls.mean()),
+        "recalls": recalls,
+        "thresholds": thresholds,
+        "gt_overlaps": gt_overlaps,
+        "num_pos": num_pos,
+    }
+
+
+def print_csv_format(results: Dict[str, Dict[str, float]]) -> str:
+    """detectron2 print_csv_format analog (reference tester.py:130):
+    per task, a 'copypaste:' header + comma-separated metric values."""
+    lines = []
+    for task, metrics in results.items():
+        lines.append(f"copypaste: Task: {task}")
+        lines.append("copypaste: " + ",".join(metrics.keys()))
+        lines.append("copypaste: " + ",".join(
+            f"{v:.4f}" for v in metrics.values()))
+    text = "\n".join(lines)
+    print(text)
+    return text
+
+
 class COCOEvaluator:
     """The reference's mask-score-aware evaluator
     (coco_evaluation.py:33-359): collects per-image predictions, converts
@@ -272,6 +376,7 @@ class COCOEvaluator:
         self.gt = gt
         self.tasks = tasks
         self.predictions: List[Dict] = []
+        self.proposals: Dict[int, Dict[str, np.ndarray]] = {}
         # contiguous class index -> dataset category id
         if category_id_map is None:
             cat_ids = sorted(gt.cats.keys())
@@ -280,6 +385,7 @@ class COCOEvaluator:
 
     def reset(self):
         self.predictions = []
+        self.proposals = {}
 
     def process(self, image_id: int, outputs: Dict[str, np.ndarray]):
         """outputs: post-processed per-image dict with pred_boxes (xyxy),
@@ -294,6 +400,9 @@ class COCOEvaluator:
         mask_scores = np.asarray(
             outputs.get("mask_scores", outputs["scores"]), np.float64)
         masks = outputs.get("pred_masks")
+        # class-agnostic boxes for the proposal-AR mode
+        # (reference _evaluate_box_proposals, coco_evaluation.py:432-540)
+        self.proposals[image_id] = {"boxes": boxes, "objectness": scores}
         for i in range(len(boxes)):
             if int(classes[i]) not in self.category_id_map:
                 # predicted class has no dataset category (e.g. an 80-class
@@ -324,5 +433,24 @@ class COCOEvaluator:
                     q["score"] = q.get("mask_score", q["score"])
                     q.pop("bbox", None)
                 preds.append(q)
-            results[task] = COCOEval(self.gt, task).evaluate(preds)
+            ev = COCOEval(self.gt, task)
+            res = ev.evaluate(preds)
+            # per-category AP keys, matching detectron2's
+            # _derive_coco_results (reference coco_evaluation.py:345-356)
+            res.update({f"AP-{n}": v for n, v in ev.per_category_ap().items()})
+            results[task] = res
         return results
+
+    def evaluate_proposals(
+        self, limits=(100, 1000), areas=("all", "small", "medium", "large"),
+    ) -> Dict[str, float]:
+        """AR@{limits} by area over the collected class-agnostic boxes
+        (reference 'box_proposals' task, coco_evaluation.py:254-271)."""
+        out = {}
+        for limit in limits:
+            for area in areas:
+                suffix = "" if area == "all" else area[0]
+                stats = evaluate_box_proposals(
+                    self.proposals, self.gt, limit=limit, area=area)
+                out[f"AR{suffix}@{limit:d}"] = stats["ar"] * 100
+        return out

@@ -167,6 +167,50 @@ def test_localization_quality_graded_by_iou():
     assert res["AP75"] < res["AP50"]
 
 
+def test_evaluate_box_proposals_ar():
+    from centermask2_tpu.evaluation.coco_eval import evaluate_box_proposals
+
+    gt = make_gt()  # 3 gts: img1 [10,10,40,40] + [50,50,70,90], img2 [0,0,50,50]
+    proposals = {
+        1: {"boxes": np.array([[10.0, 10, 40, 40], [50, 50, 70, 90]]),
+            "objectness": np.array([0.9, 0.8])},
+        2: {"boxes": np.array([[60.0, 60, 80, 80]]),
+            "objectness": np.array([0.5])},
+    }
+    stats = evaluate_box_proposals(proposals, gt, limit=100)
+    assert stats["num_pos"] == 3
+    # 2 of 3 gts matched at IoU 1.0 -> recall 2/3 at every threshold
+    np.testing.assert_allclose(stats["ar"], 2 / 3, rtol=1e-6)
+    # limit=1 keeps only the top-scored proposal per image -> 1 of 3 gt hit
+    stats1 = evaluate_box_proposals(proposals, gt, limit=1)
+    np.testing.assert_allclose(stats1["ar"], 1 / 3, rtol=1e-6)
+    # area filter: all three gts are 'small' (areas 900, 800, 2500 < 32^2=1024)?
+    # 2500 > 1024 -> medium; small has 2 gts, 2 matched
+    s = evaluate_box_proposals(proposals, gt, limit=100, area="small")
+    assert s["num_pos"] == 2
+    np.testing.assert_allclose(s["ar"], 1.0, rtol=1e-6)
+
+
+def test_per_category_ap_and_csv_format():
+    from centermask2_tpu.evaluation.coco_eval import print_csv_format
+
+    gt = make_gt()
+    dets = []
+    for img_id, anns in gt.img_to_anns.items():
+        for ann in anns:
+            dets.append({"image_id": img_id, "category_id": ann["category_id"],
+                         "bbox": list(ann["bbox"]), "score": 0.9})
+    ev = COCOEval(gt, "bbox")
+    res = ev.evaluate(dets)
+    per_cat = ev.per_category_ap()
+    assert set(per_cat) == {"a", "b"}
+    assert per_cat["a"] == pytest.approx(100.0)
+    assert per_cat["b"] == pytest.approx(100.0)
+    text = print_csv_format({"bbox": res})
+    assert "copypaste: Task: bbox" in text
+    assert "copypaste: AP,AP50" in text
+
+
 def test_segm_eval_and_mask_score_substitution():
     gt = make_gt()
     ev = COCOEvaluator(gt, tasks=("bbox", "segm"),

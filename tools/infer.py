@@ -66,7 +66,13 @@ def main():
     model = build_centermask(cfg)
     fixed = cfg.TPU.FIXED_EDGE_SIZE
     x0 = np.zeros((1, fixed, fixed, 3), np.float32)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(x0))
+    if model.s2d_input:  # host layout transform (TPU.S2D_STEM_INPUT)
+        from centermask2_tpu.data.preprocess import stem_space_to_depth
+        to_input = stem_space_to_depth
+    else:
+        to_input = lambda a: a
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.asarray(to_input(x0)))
 
     if args.weights:
         if args.weights.endswith(".pth"):
@@ -111,7 +117,7 @@ def main():
                                        cfg.INPUT.MIN_SIZE_TEST,
                                        cfg.INPUT.MAX_SIZE_TEST)
             t0 = time.perf_counter()
-            out = fn(variables, jnp.asarray(pre["input"]))
+            out = fn(variables, jnp.asarray(to_input(pre["input"])))
             out = jax.tree.map(np.asarray, out)
             total_time += time.perf_counter() - t0
             handle_image(img_id, jax.tree.map(lambda x: x[0], out), pre)
@@ -132,7 +138,8 @@ def main():
                                          cfg.INPUT.MIN_SIZE_TEST,
                                          cfg.INPUT.MAX_SIZE_TEST)
                     for i in chunk]
-            batch = jnp.asarray(np.concatenate([p["input"] for p in pres]))
+            batch = jnp.asarray(to_input(
+                np.concatenate([p["input"] for p in pres])))
             t0 = time.perf_counter()
             out = fn(variables, batch)
             out = jax.tree.map(np.asarray, out)
@@ -149,9 +156,24 @@ def main():
         json.dump(evaluator.predictions, f)
 
     results = evaluator.evaluate()
+    from centermask2_tpu.evaluation.coco_eval import print_csv_format
+
     for task, metrics in results.items():
+        summary = {k: v for k, v in metrics.items() if not k.startswith("AP-")}
         print(f"== {task} ==")
-        print(", ".join(f"{k}={v:.2f}" for k, v in metrics.items()))
+        print(", ".join(f"{k}={v:.2f}" for k, v in summary.items()))
+        # per-category AP table (reference coco_evaluation.py:345-356)
+        items = sorted((k[3:], v) for k, v in metrics.items()
+                       if k.startswith("AP-"))
+        for i in range(0, len(items), 3):
+            print("  " + " | ".join(
+                f"{n:>18s}: {v:6.2f}" for n, v in items[i:i + 3]))
+    # class-agnostic proposal recall (reference box_proposals task)
+    results["box_proposals"] = evaluator.evaluate_proposals()
+    print("== box_proposals ==")
+    print(", ".join(f"{k}={v:.2f}"
+                    for k, v in results["box_proposals"].items()))
+    print_csv_format(results)
     with open(os.path.join(args.output_dir, "metrics.json"), "w") as f:
         json.dump(results, f, indent=2)
     print(f"avg inference: {total_time / max(len(ids), 1) * 1000:.1f} ms/img")
