@@ -182,6 +182,26 @@ def convert_vovnet(cv: Converter, tpre: str, fpre: str, spec: Dict) -> None:
             cv.conv(f"{tpre}{tmod}.ese.fc", f"{fpre}{mod}/ese/fc")
 
 
+def convert_resnet(cv: Converter, tpre: str, fpre: str, depth: int = 50) -> None:
+    """detectron2 ResNet keys (stem.conv1, res{s}.{b}.conv{1..3}[.norm],
+    res{s}.{b}.shortcut) -> flax (stem_conv1, res{s}_{b}/conv{c}, shortcut).
+    tpre e.g. 'backbone.bottom_up.'."""
+    from centermask2_tpu.models.backbones.resnet import RESNET_STAGE_BLOCKS
+
+    def conv_norm(tname: str, fname: str):
+        cv.conv(f"{tpre}{tname}", f"{fpre}{fname}/conv", bias=False)
+        cv.frozen_bn(f"{tpre}{tname}.norm", f"{fpre}{fname}/norm")
+
+    conv_norm("stem.conv1", "stem_conv1")
+    for i, n_blocks in enumerate(RESNET_STAGE_BLOCKS[depth]):
+        stage = i + 2
+        for b in range(n_blocks):
+            for c in (1, 2, 3):
+                conv_norm(f"res{stage}.{b}.conv{c}", f"res{stage}_{b}/conv{c}")
+            if b == 0:
+                conv_norm(f"res{stage}.{b}.shortcut", f"res{stage}_{b}/shortcut")
+
+
 def convert_fpn(cv: Converter, tpre: str, fpre: str, stages=(3, 4, 5),
                 top_levels: int = 2) -> None:
     for s in stages:
@@ -261,6 +281,8 @@ def convert_checkpoint(
     keypoint_num_conv: int = 8,
     fpn_stages=(3, 4, 5),
     top_levels: int = 2,
+    backbone: str = "vovnet",
+    resnet_depth: int = 50,
 ) -> Tuple[Dict[str, Any], Dict[str, List[str]]]:
     """Full-model conversion. Returns (params_tree, report)."""
     from centermask2_tpu.models.backbones.vovnet import STAGE_SPECS
@@ -271,7 +293,10 @@ def convert_checkpoint(
     # backbone-only checkpoints (vovnet39_ese_detectron2.pth) have bare keys
     bpre = "backbone.bottom_up." if any(
         k.startswith("backbone.bottom_up.") for k in sd) else ""
-    convert_vovnet(cv, bpre, "backbone/", STAGE_SPECS[conv_body])
+    if backbone == "resnet":
+        convert_resnet(cv, bpre, "backbone/", resnet_depth)
+    else:
+        convert_vovnet(cv, bpre, "backbone/", STAGE_SPECS[conv_body])
     convert_fpn(cv, "backbone.", "fpn/", fpn_stages, top_levels)
     convert_fcos_head(
         cv, "proposal_generator.fcos_head.", "fcos_head/",
