@@ -6,6 +6,7 @@ from .mask_head import (
 from .maskiou_head import MaskIoUHead, mask_iou_inference, mask_iou_loss
 from .keypoint_head import (
     KRCNNConvDeconvUpsampleHead,
+    heatmaps_to_keypoints,
     keypoint_rcnn_inference,
     keypoint_rcnn_loss,
 )
@@ -25,6 +26,7 @@ __all__ = [
     "mask_iou_inference",
     "mask_iou_loss",
     "KRCNNConvDeconvUpsampleHead",
+    "heatmaps_to_keypoints",
     "keypoint_rcnn_inference",
     "keypoint_rcnn_loss",
     "CenterROIHeads",

@@ -5,11 +5,15 @@ Rebuilt from reference modeling/centermask/keypoint_head.py:173-224
 bilinear 2x upsample) and :30-115 (cross-entropy heatmap loss; decode to
 (x, y, score)).
 
-TPU divergence note: detectron2's decode resizes each heatmap to the ROI's
-pixel size before argmax; here the argmax runs on the fixed 56x56 heatmap
-and is mapped to image coordinates — same keypoint up to heatmap-cell
-resolution, static shapes. (KEYPOINT_ON is false in all shipped reference
-configs.)
+Decode follows detectron2's heatmaps_to_keypoints (the reference delegates
+to it at keypoint_head.py:89-115): per-ROI bicubic upsample of the SxS map,
+argmax, half-pixel offset back to image coords, and the
+exp-normalized probability score. TPU divergence (static shapes): the
+upsample grid is a fixed GRID x GRID (112 default) instead of the ROI's
+ceil(h) x ceil(w) pixel grid — keypoint quantization is width/GRID instead
+of ~1px (sub-1% of object scale; oracle-tested at tolerance), and jax's
+bicubic kernel (Keys a=-0.5) differs from torch's (a=-0.75) at the
+fringes. (KEYPOINT_ON is false in all shipped reference configs.)
 """
 
 from __future__ import annotations
@@ -56,22 +60,48 @@ class KRCNNConvDeconvUpsampleHead(nn.Module):
         return x
 
 
+def heatmaps_to_keypoints(
+    keypoint_logits: jnp.ndarray,  # (R, S, S, K)
+    boxes: jnp.ndarray,  # (R, 4)
+    grid: int = 112,
+) -> jnp.ndarray:
+    """detectron2 heatmaps_to_keypoints, static-shape form: (R, K, 4) of
+    (x, y, logit, prob).
+
+    Each ROI's heatmap is bicubic-upsampled to a fixed grid (d2: the ROI's
+    ceil-pixel size), argmaxed, and the cell center mapped back through
+    the box: x = x0 + (xi + 0.5)/grid * width. The probability is d2's
+    exp(max_up - max_up) / sum(exp(pooled - max_up)) evaluated at the
+    argmax cell.
+    """
+    R, S, _, K = keypoint_logits.shape
+    maps = keypoint_logits.astype(jnp.float32)
+    up = jax.image.resize(maps, (R, grid, grid, K), method="bicubic")
+    flat = up.reshape(R, grid * grid, K)
+    idx = jnp.argmax(flat, axis=1)  # (R, K)
+    max_up = jnp.max(flat, axis=1)  # (R, K)
+    yi = (idx // grid).astype(jnp.float32) + 0.5
+    xi = (idx % grid).astype(jnp.float32) + 0.5
+    w = jnp.maximum(boxes[:, 2] - boxes[:, 0], 1.0)[:, None]
+    h = jnp.maximum(boxes[:, 3] - boxes[:, 1], 1.0)[:, None]
+    x = boxes[:, 0][:, None] + xi / grid * w
+    y = boxes[:, 1][:, None] + yi / grid * h
+    # d2: roi_map_scores = exp(roi_map - max) / sum(exp(pooled - max));
+    # at the argmax cell the numerator is exp(0) = 1
+    denom = jnp.sum(
+        jnp.exp(maps - max_up[:, None, None, :]), axis=(1, 2))  # (R, K)
+    prob = 1.0 / jnp.maximum(denom, 1e-12)
+    return jnp.stack([x, y, max_up, prob], axis=-1)
+
+
 def keypoint_rcnn_inference(
     keypoint_logits: jnp.ndarray,  # (R, S, S, K)
     boxes: jnp.ndarray,  # (R, 4)
 ) -> jnp.ndarray:
-    """Heatmap argmax -> image-space (x, y, score): (R, K, 3)."""
-    R, S, _, K = keypoint_logits.shape
-    flat = keypoint_logits.reshape(R, S * S, K)
-    idx = jnp.argmax(flat, axis=1)  # (R, K)
-    score = jnp.max(flat, axis=1)
-    py = (idx // S).astype(jnp.float32) + 0.5
-    px = (idx % S).astype(jnp.float32) + 0.5
-    w = (boxes[:, 2] - boxes[:, 0])[:, None]
-    h = (boxes[:, 3] - boxes[:, 1])[:, None]
-    x = boxes[:, 0][:, None] + px / S * w
-    y = boxes[:, 1][:, None] + py / S * h
-    return jnp.stack([x, y, score.astype(jnp.float32)], axis=-1)
+    """(R, K, 3) of (x, y, prob) — d2 keypoint_rcnn_inference keeps
+    columns [0, 1, 3] of heatmaps_to_keypoints."""
+    res = heatmaps_to_keypoints(keypoint_logits, boxes)
+    return res[..., jnp.array([0, 1, 3])]
 
 
 def keypoints_to_heatmap(
@@ -89,11 +119,15 @@ def keypoints_to_heatmap(
     scale_y = S / jnp.maximum(boxes[:, 3:4] - y0, 1e-6)
 
     kx, ky, vis = keypoints[..., 0], keypoints[..., 1], keypoints[..., 2]
-    x = (kx - x0) * scale_x
-    y = (ky - y0) * scale_y
-    x_idx = jnp.clip(jnp.floor(x), 0, S - 1).astype(jnp.int32)
-    y_idx = jnp.clip(jnp.floor(y), 0, S - 1).astype(jnp.int32)
-    inside = (x >= 0) & (x < S) & (y >= 0) & (y < S)
+    xf = jnp.floor((kx - x0) * scale_x)
+    yf = jnp.floor((ky - y0) * scale_y)
+    # d2 boundary handling: a keypoint exactly on the right/bottom box
+    # edge maps to bin S-1 and stays valid
+    xf = jnp.where(kx == boxes[:, 2:3], S - 1, xf)
+    yf = jnp.where(ky == boxes[:, 3:4], S - 1, yf)
+    inside = (xf >= 0) & (xf < S) & (yf >= 0) & (yf < S)
+    x_idx = jnp.clip(xf, 0, S - 1).astype(jnp.int32)
+    y_idx = jnp.clip(yf, 0, S - 1).astype(jnp.int32)
     valid = inside & (vis > 0)
     return y_idx * S + x_idx, valid
 

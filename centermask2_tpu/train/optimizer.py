@@ -44,8 +44,28 @@ def warmup_multistep_schedule(
     return schedule
 
 
-def _is_frozen(path: tuple) -> bool:
-    return any(str(k).startswith("frozen_") for k in path)
+def freeze_prefixes(freeze_at: int) -> tuple:
+    """MODEL.BACKBONE.FREEZE_AT -> backbone module-name prefixes to freeze.
+
+    Matches the reference's VoVNet._freeze_backbone (vovnet.py:455-469):
+    stage index 0 is the stem, index i (>0) is OSA stage i+1; FREEZE_AT=2
+    (the shipped default) freezes stem_* and OSA2_*.
+    """
+    names = []
+    if freeze_at >= 1:
+        names.append("stem")
+    for s in range(2, freeze_at + 1):
+        names.append(f"OSA{s}_")
+    return tuple(names)
+
+
+def _is_frozen(path: tuple, prefixes: tuple = ()) -> bool:
+    keys = [str(k) for k in path]
+    if any(k.startswith("frozen_") for k in keys):
+        return True
+    if prefixes and "backbone" in keys:
+        return any(k.startswith(p) for k in keys for p in prefixes)
+    return False
 
 
 def _is_norm_or_bias(path: tuple) -> bool:
@@ -70,22 +90,20 @@ def make_optimizer(
     warmup_iters: int = 1000,
     warmup_method: str = "linear",
     clip_value: float = 0.0,
+    freeze_at: int = 0,
     params_example: Any = None,
 ) -> optax.GradientTransformation:
     schedule = warmup_multistep_schedule(
         base_lr, steps, gamma, warmup_factor, warmup_iters, warmup_method)
+    prefixes = freeze_prefixes(freeze_at)
 
     def decay_mask(params):
         return jax.tree_util.tree_map_with_path(
             lambda p, _: not _is_norm_or_bias(tuple(k.key for k in p)), params)
 
-    def trainable_mask(params):
-        return jax.tree_util.tree_map_with_path(
-            lambda p, _: not _is_frozen(tuple(k.key for k in p)), params)
-
     def frozen_mask(params):
         return jax.tree_util.tree_map_with_path(
-            lambda p, _: _is_frozen(tuple(k.key for k in p)), params)
+            lambda p, _: _is_frozen(tuple(k.key for k in p), prefixes), params)
 
     chain = []
     if clip_value and clip_value > 0:

@@ -17,6 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "golden_tiny.npz")
 
 

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from centermask2_tpu.config import get_cfg
 from centermask2_tpu.models import CenterMask, GroundTruth, build_centermask
 

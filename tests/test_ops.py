@@ -237,6 +237,33 @@ def test_multilevel_roi_align_matches_single_level():
         np.testing.assert_allclose(got[r], ref[0], rtol=1e-4, atol=1e-5)
 
 
+def test_adaptive_sampling_ratio_matches_d2_semantics():
+    """sampling_ratio=0 (detectron2 adaptive: grid = ceil(roi/out)) via
+    static buckets {1,2,4}: exact for ROIs whose ceil is a bucket value
+    (the common case under FPN level assignment); ceil=3 clamps to the
+    4-sample pool (documented divergence)."""
+    rng = np.random.RandomState(7)
+    C = 3
+    feat = rng.randn(1, 32, 32, C).astype(np.float32)
+    # feat-coord spans/7 -> ceil: 1, 2, 4 (exact) and 3 (clamped to 4)
+    boxes = np.array([[8, 8, 32, 30],      # ~6.0 x 5.5   -> 1
+                      [0, 0, 52, 50],      # 13 x 12.5    -> 2
+                      [2, 3, 102, 98],     # 25 x 23.75   -> 4
+                      [4, 4, 90, 88]],     # 21.5 x 21    -> 3 (clamps to 4)
+                     np.float32)
+    got = np.asarray(multilevel_roi_align(
+        [jnp.asarray(feat)], jnp.asarray(boxes),
+        jnp.zeros(4, jnp.int32), jnp.zeros(4, jnp.int32),
+        [0.25], 7, sampling_ratio=0))
+    for r, s_true in enumerate((1, 2, 4)):
+        ref = np_roi_align(feat[0], boxes[r:r + 1], 0.25, 7, s_true)
+        np.testing.assert_allclose(got[r], ref[0], rtol=1e-4, atol=1e-5,
+                                   err_msg=f"roi {r} s={s_true}")
+    # the ceil=3 ROI uses the 4-sample bucket
+    ref4 = np_roi_align(feat[0], boxes[3:4], 0.25, 7, 4)
+    np.testing.assert_allclose(got[3], ref4[0], rtol=1e-4, atol=1e-5)
+
+
 def test_assign_boxes_by_ratio():
     # box area == img area -> log2(1)=0 -> ceil(max_level) = max_level
     img_areas = jnp.array([1000.0, 1000.0, 1000.0])

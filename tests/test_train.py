@@ -1,5 +1,6 @@
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from centermask2_tpu.train import make_optimizer, warmup_multistep_schedule
@@ -38,6 +39,32 @@ def test_optimizer_freezes_frozen_params_and_updates_rest():
                                -0.1, rtol=1e-6)
 
 
+def test_freeze_at_masks_backbone_stages():
+    """MODEL.BACKBONE.FREEZE_AT=2 (the V-39 3x recipe) must zero updates
+    for stem_* and OSA2_* backbone params while OSA3+ still train
+    (reference vovnet.py:455-469)."""
+    params = {
+        "backbone": {
+            "stem_1": {"conv": {"kernel": jnp.ones((3, 3))}},
+            "OSA2_1": {"layer0": {"conv": {"kernel": jnp.ones((3, 3))}}},
+            "OSA3_1": {"layer0": {"conv": {"kernel": jnp.ones((3, 3))}}},
+        },
+        "fcos_head": {"cls_tower": {"conv0": {"kernel": jnp.ones((3, 3))}}},
+    }
+    opt = make_optimizer(0.1, (100,), warmup_iters=0, warmup_factor=1.0,
+                         freeze_at=2, params_example=params)
+    state = opt.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = opt.update(grads, state, params)
+    bb = updates["backbone"]
+    assert float(jnp.abs(bb["stem_1"]["conv"]["kernel"]).max()) == 0.0
+    assert float(jnp.abs(bb["OSA2_1"]["layer0"]["conv"]["kernel"]).max()) == 0.0
+    assert float(jnp.abs(bb["OSA3_1"]["layer0"]["conv"]["kernel"]).max()) > 0.0
+    assert float(jnp.abs(
+        updates["fcos_head"]["cls_tower"]["conv0"]["kernel"]).max()) > 0.0
+
+
+@pytest.mark.slow
 def test_dryrun_multichip_2dev():
     """The driver contract: full DP train step on a virtual mesh."""
     import sys, os
@@ -48,6 +75,7 @@ def test_dryrun_multichip_2dev():
     ge.dryrun_multichip(2)
 
 
+@pytest.mark.slow
 def test_orbax_roundtrip(tmp_path):
     from centermask2_tpu.checkpoint.orbax_io import (
         latest_checkpoint,

@@ -74,7 +74,8 @@ def main():
         gamma=cfg.SOLVER.GAMMA, warmup_factor=cfg.SOLVER.WARMUP_FACTOR,
         warmup_iters=cfg.SOLVER.WARMUP_ITERS,
         clip_value=(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE
-                    if cfg.SOLVER.CLIP_GRADIENTS.ENABLED else 0.0))
+                    if cfg.SOLVER.CLIP_GRADIENTS.ENABLED else 0.0),
+        freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT)
     state = create_train_state(params, optimizer)
 
     out_dir = cfg.OUTPUT_DIR
@@ -111,7 +112,8 @@ def main():
             boxes=jnp.asarray(batch["gt_boxes"]),
             classes=jnp.asarray(batch["gt_classes"]),
             valid=jnp.asarray(batch["gt_valid"]),
-            mask_patches=jnp.asarray(batch["gt_mask_patches"]))
+            mask_patches=jnp.asarray(batch["gt_mask_patches"]),
+            image_sizes=jnp.asarray(batch["image_size"], jnp.float32))
         images = jnp.asarray(batch["image"])
         images, gt = shard_batch((images, gt), mesh)
         rng, step_rng = jax.random.split(rng)
