@@ -97,7 +97,10 @@ def main():
 
             def chained_b(p, im, n):
                 def body(i, acc):
-                    out = model.apply(p, im * weights[i])
+                    # lax.map over the single-image program: XLA's B>1
+                    # conv layouts regress (see CenterMask.inference_batched)
+                    out = model.apply(p, im * weights[i],
+                                      method="inference_batched")
                     return acc + out.scores
 
                 k = model.post_nms_topk_test

@@ -172,16 +172,81 @@ def merge(rles: Sequence[RLE], intersect: bool = False) -> RLE:
     return cur
 
 
+def _rle_from_polygon(xy: np.ndarray, h: int, w: int) -> RLE:
+    """One polygon -> RLE with the published COCO-protocol rasterization
+    (pycocotools rleFrPoly): trace the boundary densely on a 5x-upsampled
+    grid, keep the column-crossing points, downsample to per-column
+    y-toggles, and turn the sorted toggle positions into runs. This is the
+    exact gt rasterization the official COCO metric uses — cv2.fillPoly
+    differs on boundary pixels, which measurably shifts small-object segm
+    AP (ADVICE round 1)."""
+    scale = 5.0
+    pts = np.asarray(xy, np.float64).reshape(-1, 2)
+    k = len(pts)
+    # C-truncation of scale*v + .5 (coords are non-negative in COCO)
+    x = np.trunc(scale * pts[:, 0] + 0.5).astype(np.int64)
+    y = np.trunc(scale * pts[:, 1] + 0.5).astype(np.int64)
+    x = np.append(x, x[0])
+    y = np.append(y, y[0])
+
+    us, vs = [], []
+    for j in range(k):
+        xs, xe, ys, ye = x[j], x[j + 1], y[j], y[j + 1]
+        dx, dy = abs(xe - xs), abs(ys - ye)
+        flip = (dx >= dy and xs > xe) or (dx < dy and ys > ye)
+        if flip:
+            xs, xe, ys, ye = xe, xs, ye, ys
+        if dx >= dy:
+            s = (ye - ys) / dx if dx else 0.0
+            d = np.arange(dx + 1)
+            t = dx - d if flip else d
+            us.append(t + xs)
+            vs.append(np.trunc(ys + s * t + 0.5).astype(np.int64))
+        else:
+            s = (xe - xs) / dy if dy else 0.0
+            d = np.arange(dy + 1)
+            t = dy - d if flip else d
+            vs.append(t + ys)
+            us.append(np.trunc(xs + s * t + 0.5).astype(np.int64))
+    u = np.concatenate(us)
+    v = np.concatenate(vs)
+
+    # column-crossing points -> (x, ceil(y)) toggles, downsampled
+    cross = u[1:] != u[:-1]
+    uj, ujm1 = u[1:][cross], u[:-1][cross]
+    vj, vjm1 = v[1:][cross], v[:-1][cross]
+    xd = np.where(uj < ujm1, uj, uj - 1).astype(np.float64)
+    xd = (xd + 0.5) / scale - 0.5
+    ok = (np.floor(xd) == xd) & (xd >= 0) & (xd <= w - 1)
+    yd = np.where(vj < vjm1, vj, vjm1).astype(np.float64)
+    yd = (yd + 0.5) / scale - 0.5
+    yd = np.ceil(np.clip(yd, 0, h))
+    xs_ = xd[ok].astype(np.int64)
+    ys_ = yd[ok].astype(np.int64)
+
+    # toggle positions (column-major) -> alternating runs
+    a = np.sort(xs_ * h + ys_)
+    a = np.append(a, h * w)
+    d = np.diff(np.concatenate([[0], a])).astype(np.int64)
+    # collapse zero-length runs into the previous run (double toggles)
+    b = [d[0]]
+    j = 1
+    while j < len(d):
+        if d[j] > 0:
+            b.append(d[j])
+            j += 1
+        else:
+            j += 1
+            if j < len(d):
+                b[-1] += d[j]
+                j += 1
+    return RLE(h, w, np.asarray(b, np.uint32))
+
+
 def polygons_to_rle(polygons: Sequence[np.ndarray], h: int, w: int) -> RLE:
-    """Rasterize COCO polygon(s) -> merged RLE (frPyObjects analog).
-
-    Uses cv2.fillPoly, which matches pycocotools' boundary rasterization to
-    within sub-pixel convention differences.
-    """
-    import cv2
-
-    mask = np.zeros((h, w), np.uint8)
-    for p in polygons:
-        pts = np.asarray(p, np.float64).reshape(-1, 2)
-        cv2.fillPoly(mask, [np.round(pts).astype(np.int32)], 1)
-    return encode(mask)
+    """Rasterize COCO polygon(s) -> merged RLE: the exact frPyObjects +
+    merge pipeline of pycocotools' annToRLE."""
+    rles = [_rle_from_polygon(p, h, w) for p in polygons]
+    if not rles:
+        return encode(np.zeros((h, w), bool))
+    return merge(rles) if len(rles) > 1 else rles[0]

@@ -153,6 +153,36 @@ class GroupNorm(nn.Module):
         )(x)
 
 
+class BatchNorm(nn.Module):
+    """Train-capable BatchNorm; SyncBN adds cross-replica batch statistics
+    via ``axis_name`` (torch SyncBatchNorm analog).
+
+    Train vs eval is keyed off mutability of the ``batch_stats``
+    collection — the train step applies with ``mutable=['batch_stats']``
+    (train/trainer.py) — so conv call sites need no train-flag threading.
+    Inference (no mutable collections) reads the running averages, and
+    the cross-replica psum only engages inside a mapped axis.
+    """
+
+    features: int
+    axis_name: Optional[str] = None
+    momentum: float = 0.9
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        training = (self.is_mutable_collection("batch_stats")
+                    and not self.is_initializing())
+        return nn.BatchNorm(
+            use_running_average=not training,
+            momentum=self.momentum,
+            epsilon=BN_EPS,
+            axis_name=self.axis_name if training else None,
+            dtype=None,
+            param_dtype=jnp.float32,
+            name="bn",
+        )(x)
+
+
 def get_norm(norm: str, features: int, name: str = "norm") -> Optional[nn.Module]:
     """Norm factory mirroring detectron2 get_norm as the reference uses it."""
     if not norm or norm == "none":
@@ -161,16 +191,34 @@ def get_norm(norm: str, features: int, name: str = "norm") -> Optional[nn.Module
         return FrozenBatchNorm(features, name=name)
     if norm == "GN":
         return GroupNorm(features, name=name)
-    if norm in ("BN", "SyncBN"):
-        # Training-time batch stats are out of scope for the deploy parity
-        # path; FrozenBN is what the shipped configs use.
-        return FrozenBatchNorm(features, name=name)
+    if norm == "BN":
+        return BatchNorm(features, name=name)
+    if norm == "SyncBN":
+        # cross-replica stats over the DP mesh axis (TPU.MESH_AXIS)
+        return BatchNorm(features, axis_name="data", name=name)
     raise ValueError(f"Unknown norm: {norm}")
 
 
 def hsigmoid(x: jnp.ndarray) -> jnp.ndarray:
     """relu6(x + 3) / 6 (reference Hsigmoid, vovnet.py:238-244)."""
     return jnp.clip(x + 3.0, 0.0, 6.0) / 6.0
+
+
+class _Conv1x1Params(nn.Module):
+    """(1, 1, Cin, Cout) conv kernel + bias parameters with nn.Conv's
+    default initializers and param names — for modules that keep the
+    conv-shaped checkpoint layout but compute with a dense matmul."""
+
+    in_channels: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (1, 1, self.in_channels, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros_init(),
+                       (self.features,), jnp.float32)
+        return k, b
 
 
 class eSEModule(nn.Module):
@@ -185,18 +233,18 @@ class eSEModule(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        # (N, H, W, C) -> (N, 1, 1, C); fp32 accumulation without
-        # materializing an fp32 copy of the (large) activation
-        pooled = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
-        gate = nn.Conv(
-            features=self.channels,
-            kernel_size=(1, 1),
-            use_bias=True,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-            name="fc",
-        )(pooled)
-        return x * hsigmoid(gate).astype(x.dtype)
+        # (N, H, W, C) -> (N, C); fp32 accumulation without materializing
+        # an fp32 copy of the (large) activation. The gate is computed as
+        # a dense matmul on the pooled vector rather than a 1x1 conv on a
+        # (N, 1, 1, C) tensor: the degenerate-spatial conv triggers XLA
+        # layout relayouts around the broadcast multiply at batch > 1
+        # (~4.8 ms of pad/copy/slice in OSA2_1 alone at B=4, r2 profile).
+        # Parameter stays the conv-shaped (1, 1, C, C) kernel under fc/.
+        pooled = jnp.mean(x, axis=(1, 2), dtype=jnp.float32)  # (N, C)
+        kernel, bias = _Conv1x1Params(self.channels, self.channels,
+                                      name="fc")()
+        gate = pooled @ kernel.reshape(self.channels, self.channels) + bias
+        return x * hsigmoid(gate)[:, None, None, :].astype(x.dtype)
 
 
 class SpatialAttention(nn.Module):

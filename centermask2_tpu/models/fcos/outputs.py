@@ -52,10 +52,15 @@ def _top_k(x: jnp.ndarray, k: int, approx: bool) -> Tuple[jnp.ndarray, jnp.ndarr
     """top_k, optionally via the TPU-optimized approximate reduction.
 
     approx_max_k (recall ~0.95 at the tail) replaces the full-sort TopK
-    custom call, which profiles at ~0.6 ms per level at 1344 input; the
-    recall loss only affects candidates ranked near position k, i.e. the
-    lowest-scoring tail that rarely survives NMS. Exact mode remains the
-    default for parity testing (and is what CPU falls back to).
+    custom call; the recall loss only affects candidates ranked near
+    position k, the lowest-scoring tail that rarely survives NMS.
+
+    NOTE: the shipped default is approx=True (TPU.APPROX_TOPK) — default
+    inference numerics deviate from the reference at the candidate tail.
+    tests/test_ablations.py quantifies the effect (top-10 identical,
+    >=90% keep-set overlap on dense scenes); parity/golden tests pin
+    approx_topk=False explicitly. On inputs smaller than 4k the call
+    falls back to exact top_k regardless.
     """
     if approx and x.shape[-1] > 4 * k:
         return jax.lax.approx_max_k(x, k, recall_target=0.95)

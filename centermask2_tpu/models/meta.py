@@ -278,6 +278,31 @@ class CenterMask(nn.Module):
             pred_keypoints=pred_keypoints,
         )
 
+    def inference_batched(self, images: jnp.ndarray,
+                          image_sizes: Optional[jnp.ndarray] = None
+                          ) -> InferenceOutputs:
+        """Batched serving by mapping the single-image program over the
+        batch (one compile, sequential execution).
+
+        Rationale: at batch > 1 XLA's TPU conv-layout choices regress —
+        fusion stops around elementwise ops and relayout copies appear
+        (measured 16.3 ms/img at B=4 vs 9.2 ms/img single, round-2
+        profile) — so the fastest batched throughput is the optimized
+        B=1 graph run per image under lax.map.
+        """
+        def one(args):
+            im, sz = args
+            out = self.inference(im[None], sz[None])
+            return jax.tree.map(lambda x: x[0], out)
+
+        B = images.shape[0]
+        if image_sizes is None:
+            H, W = images.shape[1], images.shape[2]
+            if self.s2d_input:
+                H, W = (H - 1) * 4, (W - 1) * 4
+            image_sizes = jnp.tile(jnp.array([[H, W]], jnp.float32), (B, 1))
+        return jax.lax.map(one, (images, image_sizes))
+
     # ------------------------------------------------------------------
     def loss(self, images: jnp.ndarray, gt: GroundTruth,
              rng: jax.Array, axis_name: Optional[str] = None

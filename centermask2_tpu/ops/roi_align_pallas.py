@@ -17,11 +17,15 @@ a pure gather avoids sub-lane-width weight blocks.
 ops/roi_align.py remains the portable reference implementation and the
 numerical oracle in tests.
 
-Status: compiles and is bit-exact vs the XLA gather on the real TPU, but
-per-tap row DMAs are latency-bound (measured 26.7 ms vs 1.6 ms for the
-XLA gather at 50 ROIs / 256 ch) — the XLA path stays the default. A
-faster design needs per-ROI *region* DMAs (one contiguous (h, w, C)
-bounding-window copy per ROI + VMEM-local bilinear), not per-tap copies.
+DECISION (round 2): the XLA unified gather (ops/roi_align.py) is the
+production path. Benchmark on one v5e, 50 ROIs / 256 ch / 14x14 / ratio 2:
+XLA gather ~1.6 ms, this kernel 26.7 ms — per-tap row DMAs are
+latency-bound, and a fix would need per-ROI *region* DMAs (one contiguous
+(h, w, C) bounding-window copy + VMEM-local bilinear), which static
+shapes can't bound: ROI sizes are data-dependent up to the whole level.
+The kernel is kept as the repository's worked example of scalar-prefetch
++ double-buffered DMA gather in Pallas (bit-exact, tested in
+tests/test_ops.py) and is NOT wired into any model path.
 """
 
 from __future__ import annotations

@@ -23,15 +23,24 @@ from centermask2_tpu.models import CenterMask
 
 class TrainState(NamedTuple):
     step: jnp.ndarray
-    params: Any
+    params: Any  # {"params": ...} variables subtree (trainable)
     opt_state: Any
+    model_state: Any = None  # non-trainable collections (BN batch_stats)
 
 
-def create_train_state(params: Any, optimizer: optax.GradientTransformation) -> TrainState:
+def create_train_state(variables: Any,
+                       optimizer: optax.GradientTransformation) -> TrainState:
+    """variables: the full model.init output. Non-``params`` collections
+    (BatchNorm ``batch_stats``) split into ``model_state`` and are updated
+    through the forward pass rather than the optimizer."""
+    variables = dict(variables)
+    params = {"params": variables.pop("params")}
+    model_state = variables or None
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=optimizer.init(params),
+        model_state=model_state,
     )
 
 
@@ -48,24 +57,37 @@ def make_train_step(
     all_reduce semantics) and gradients are psum-averaged.
     """
 
-    def loss_fn(params, images, gt, rng, axis_name):
-        losses = model.apply(params, images, gt, rng,
-                             axis_name=axis_name, method=CenterMask.loss)
+    def loss_fn(params, model_state, images, gt, rng, axis_name):
+        variables = {**params, **(model_state or {})}
+        if model_state:  # train-mode BN: batch_stats updates in-forward
+            losses, new_state = model.apply(
+                variables, images, gt, rng, axis_name=axis_name,
+                method=CenterMask.loss, mutable=list(model_state))
+        else:
+            losses = model.apply(variables, images, gt, rng,
+                                 axis_name=axis_name, method=CenterMask.loss)
+            new_state = None
         total = sum(losses.values())
-        return total, losses
+        return total, (losses, new_state)
 
     def local_step(state: TrainState, images, gt, rng, axis_name=None):
-        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, images, gt, rng, axis_name)
+        (total, (losses, new_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(
+            state.params, state.model_state, images, gt, rng, axis_name)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             losses = jax.lax.pmean(losses, axis_name)
             total = jax.lax.pmean(total, axis_name)
+            if new_state is not None:
+                # plain BN: average the per-replica running stats (SyncBN
+                # already psums the batch moments inside the forward)
+                new_state = jax.lax.pmean(new_state, axis_name)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = dict(losses)
         metrics["total_loss"] = total
-        return TrainState(state.step + 1, new_params, new_opt), metrics
+        return TrainState(state.step + 1, new_params, new_opt,
+                          new_state), metrics
 
     if mesh is None:
         return jax.jit(local_step)

@@ -167,6 +167,57 @@ def test_localization_quality_graded_by_iou():
     assert res["AP75"] < res["AP50"]
 
 
+def test_polygon_rasterization_coco_protocol():
+    """frPyObjects-exact rasterization: an integer-vertex rectangle
+    polygon becomes the half-open pixel box [y0:y1, x0:x1] (the official
+    COCO convention; cv2.fillPoly would include the x1/y1 boundary)."""
+    poly = [np.array([3.0, 2.0, 9.0, 2.0, 9.0, 7.0, 3.0, 7.0])]
+    r = rle.polygons_to_rle(poly, 12, 14)
+    m = rle.decode(r)
+    expect = np.zeros((12, 14), bool)
+    expect[2:7, 3:9] = True
+    np.testing.assert_array_equal(m, expect)
+    assert rle.area(r) == 30
+    # origin-anchored box: leading zero run
+    r0 = rle.polygons_to_rle([np.array([0.0, 0, 5, 0, 5, 4, 0, 4])], 8, 8)
+    m0 = rle.decode(r0)
+    assert m0[:4, :5].all() and m0.sum() == 20
+    # multiple polygons merge (union), non-integer vertices don't crash
+    r2 = rle.polygons_to_rle(
+        [np.array([0.0, 0, 3, 0, 3, 3, 0, 3]),
+         np.array([4.7, 4.2, 7.9, 4.2, 7.9, 7.8, 4.7, 7.8])], 10, 10)
+    m2 = rle.decode(r2)
+    assert m2[:3, :3].all()
+    assert m2.sum() > 9
+
+
+def test_polygon_rasterization_close_to_fillpoly():
+    """On a random simple polygon the protocol rasterization and
+    cv2.fillPoly agree except on boundary pixels."""
+    import cv2
+
+    rng = np.random.RandomState(0)
+    # star-shaped simple polygon around a center
+    ang = np.sort(rng.uniform(0, 2 * np.pi, 12))
+    rad = rng.uniform(8, 20, 12)
+    cx, cy = 32, 30
+    xs = cx + rad * np.cos(ang)
+    ys = cy + rad * np.sin(ang)
+    poly = np.stack([xs, ys], 1).reshape(-1)
+    got = rle.decode(rle.polygons_to_rle([poly], 64, 64))
+    ref = np.zeros((64, 64), np.uint8)
+    cv2.fillPoly(ref, [np.round(poly.reshape(-1, 2)).astype(np.int32)], 1)
+    ref = ref.astype(bool)
+    diff = got ^ ref
+    # differences confined to the dilated boundary of the reference mask
+    er = cv2.erode(ref.astype(np.uint8), np.ones((3, 3), np.uint8))
+    boundary = ref ^ er.astype(bool)
+    boundary_dil = cv2.dilate(boundary.astype(np.uint8),
+                              np.ones((3, 3), np.uint8)).astype(bool)
+    assert not (diff & ~boundary_dil).any()
+    assert diff.sum() < boundary.sum() * 2
+
+
 def test_evaluate_box_proposals_ar():
     from centermask2_tpu.evaluation.coco_eval import evaluate_box_proposals
 

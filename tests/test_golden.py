@@ -25,9 +25,11 @@ FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "golden_tiny.npz")
 def build():
     from centermask2_tpu.models import CenterMask
 
+    # approx_topk pinned off: golden history must use exact reference
+    # numerics (the shipped TPU default is approximate, ADVICE round 1)
     model = CenterMask(
         conv_body="V-19-slim-eSE", post_nms_topk_test=10, pre_nms_topk_test=50,
-        nms_candidates=100, dtype=jnp.float32)
+        nms_candidates=100, approx_topk=False, dtype=jnp.float32)
     rng = np.random.RandomState(1234)
     x = jnp.asarray(rng.randn(1, 128, 160, 3).astype(np.float32) * 40.0)
     params = model.init(jax.random.PRNGKey(42), x)

@@ -55,6 +55,22 @@ def test_inference_contract_shapes(model_and_params):
     assert np.all(np.asarray(out.pred_boxes[0])[inv] == 0)
 
 
+def test_inference_batched_matches_per_image(model_and_params):
+    """lax.map batched serving must reproduce per-image inference."""
+    model, params = model_and_params
+    rng = np.random.RandomState(3)
+    xb = jnp.asarray(rng.randn(2, 128, 128, 3) * 30)
+    batched = model.apply(params, xb, method="inference_batched")
+    for b in range(2):
+        single = model.apply(params, xb[b:b + 1])
+        for name in ("scores", "pred_boxes", "pred_classes", "valid",
+                     "mask_scores"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(batched, name)[b]),
+                np.asarray(getattr(single, name)[0]), rtol=1e-5, atol=1e-5,
+                err_msg=name)
+
+
 def test_inference_jit_compiles(model_and_params):
     model, params = model_and_params
     f = jax.jit(lambda p, x: model.apply(p, x))

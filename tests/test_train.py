@@ -65,6 +65,50 @@ def test_freeze_at_masks_backbone_stages():
 
 
 @pytest.mark.slow
+def test_batchnorm_training_updates_running_stats():
+    """MODEL.VOVNET.NORM 'BN'/'SyncBN' trains real batch statistics:
+    batch_stats live in TrainState.model_state, update through the
+    forward pass, and SyncBN psums moments across the mesh."""
+    from centermask2_tpu.models import CenterMask, GroundTruth
+    from centermask2_tpu.parallel import make_mesh, shard_batch
+    from centermask2_tpu.train import create_train_state, make_train_step
+
+    model = CenterMask(
+        conv_body="V-19-slim-eSE", backbone_norm="SyncBN",
+        mask_on=False, maskiou_on=False,
+        pre_nms_topk_train=20, post_nms_topk_train=10, nms_candidates=20,
+        dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    B = 2
+    images = jnp.asarray(rng.randn(B, 64, 64, 3).astype(np.float32) * 20)
+    gt = GroundTruth(
+        boxes=jnp.tile(jnp.asarray([[[8, 8, 40, 40]]], jnp.float32), (B, 1, 1)),
+        classes=jnp.zeros((B, 1), jnp.int32),
+        valid=jnp.ones((B, 1), bool),
+        mask_patches=jnp.zeros((B, 1, 8, 8)))
+
+    variables = model.init(jax.random.PRNGKey(0), images[:1])
+    assert "batch_stats" in variables
+    opt = make_optimizer(0.01, (100,), params_example=None)
+    state = create_train_state(variables, opt)
+    assert state.model_state is not None
+
+    mesh = make_mesh(jax.devices()[:2])
+    state = jax.device_put(state, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec()))
+    images, gt = shard_batch((images, gt), mesh)
+    step = make_train_step(model, opt, mesh=mesh)
+    before = jax.tree.leaves(state.model_state)[0].copy()
+    state, metrics = step(state, images, gt, jax.random.PRNGKey(1))
+    assert all(np.isfinite(float(v)) for v in metrics.values())
+    after = jax.tree.leaves(state.model_state)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+    # inference path uses the running averages without mutation
+    out = model.apply({**state.params, **state.model_state}, images[:1])
+    assert np.isfinite(np.asarray(out.scores)).all()
+
+
+@pytest.mark.slow
 def test_dryrun_multichip_2dev():
     """The driver contract: full DP train step on a virtual mesh."""
     import sys, os

@@ -88,6 +88,9 @@ def main():
             variables = load_checkpoint(args.weights, target=variables)
 
     fn = jax.jit(lambda v, im: model.apply(v, im))
+    if args.batch_size > 1:
+        fn = jax.jit(lambda v, im: model.apply(v, im,
+                                               method="inference_batched"))
 
     ds = CocoDataset(args.ann, args.image_root, filter_empty=False)
     with open(args.ann) as f:
