@@ -9,8 +9,9 @@ confidences are ``mask_scores`` (cityscapes_evaluation.py:67-77).
 
 cityscapesscripts is not bundled in this environment; file emission (the
 part the reference implements itself) is always available, and the metric
-pass runs when the package is importable — otherwise `evaluate()` reports
-the prediction directory for offline scoring.
+pass uses the official package when importable — otherwise the built-in
+scorer (cityscapes_scoring.py, the same published algorithm) produces the
+AP/AP50 numbers from the emitted files + gt instanceIds pngs.
 """
 
 from __future__ import annotations
@@ -74,11 +75,17 @@ class CityscapesInstanceEvaluator:
         try:
             import cityscapesscripts.evaluation.evalInstanceLevelSemanticLabeling as ev
         except ImportError:
-            return {
-                "note": "cityscapesscripts unavailable; predictions written "
-                        f"to {self.output_dir} for offline scoring",
-                "num_images": len(self._written),
-            }
+            if gt_dir is None:
+                return {
+                    "note": "no gt_dir given; predictions written to "
+                            f"{self.output_dir} for offline scoring",
+                    "num_images": len(self._written),
+                }
+            # built-in scorer implementing the official algorithm
+            # (evaluation/cityscapes_scoring.py)
+            from .cityscapes_scoring import evaluate_prediction_dir
+
+            return evaluate_prediction_dir(self.output_dir, gt_dir)
         ev.args.predictionPath = os.path.abspath(self.output_dir)
         ev.args.predictionWalk = None
         ev.args.JSONOutput = False

@@ -294,6 +294,65 @@ def test_segm_eval_and_mask_score_substitution():
     assert all("mask_score" in p for p in recs)
 
 
+def _cs_gt_map():
+    """64x64 instanceIds map: two cars (26000/26001, >=100px), a person
+    (24000), a void strip (label 0), a tiny car (<100 px), and a car
+    crowd region (semantic 26, no instance)."""
+    g = np.zeros((64, 64), np.int64)  # label 0 = unlabeled (void)
+    g[4:20, 4:20] = 26000
+    g[30:50, 30:50] = 26001
+    g[4:20, 40:60] = 24000
+    g[55:58, 4:7] = 26002  # 9 px: below minRegionSize
+    g[55:64, 40:60] = 26   # crowd car region
+    return g
+
+
+def _mask(g, iid):
+    return g == iid
+
+
+def test_cityscapes_scoring_perfect_and_missed():
+    from centermask2_tpu.evaluation.cityscapes_scoring import score_instances
+
+    g = _cs_gt_map()
+    perfect = [[(_mask(g, 26000), 26, 0.9), (_mask(g, 26001), 26, 0.8),
+                (_mask(g, 24000), 24, 0.95)]]
+    res = score_instances([g], [perfect[0]])
+    assert res["AP"] == pytest.approx(100.0)
+    assert res["AP50"] == pytest.approx(100.0)
+    assert res["AP-car"] == pytest.approx(100.0)
+    # missing one of two cars: car AP = 0.5 at every overlap
+    partial = [(_mask(g, 26000), 26, 0.9), (_mask(g, 24000), 24, 0.95)]
+    res = score_instances([g], [partial])
+    assert res["AP-car"] == pytest.approx(50.0)
+    assert res["AP-person"] == pytest.approx(100.0)
+    assert res["AP"] == pytest.approx(75.0)
+
+
+def test_cityscapes_scoring_ignore_regions():
+    from centermask2_tpu.evaluation.cityscapes_scoring import score_instances
+
+    g = _cs_gt_map()
+    void_fp = np.zeros_like(g, dtype=bool)
+    void_fp[0:3, 25:35] = True  # entirely on label-0 void
+    crowd_fp = _mask(g, 26)  # entirely on the car crowd region
+    small_fp = _mask(g, 26002)  # entirely on the too-small car gt
+    preds = [(_mask(g, 26000), 26, 0.9), (_mask(g, 26001), 26, 0.8),
+             (_mask(g, 24000), 24, 0.95),
+             (void_fp, 26, 0.99), (crowd_fp, 26, 0.99),
+             (small_fp, 26, 0.99)]
+    res = score_instances([g], [preds])
+    # all three extra predictions are forgiven (ignore overlap > threshold)
+    assert res["AP"] == pytest.approx(100.0)
+    # a genuine false positive on clean background does count
+    real_fp = np.zeros_like(g, dtype=bool)
+    real_fp[24:28, 4:20] = True
+    g2 = g.copy()
+    g2[24:28, 4:20] = 7  # label 7 (road): in-eval semantic, not void
+    res2 = score_instances([g2], [preds + [(real_fp, 26, 0.99)]])
+    assert res2["AP-car"] < 100.0
+
+
 def test_cityscapes_instance_evaluator(tmp_path):
     from centermask2_tpu.evaluation.cityscapes_eval import (
         CityscapesInstanceEvaluator,
