@@ -119,6 +119,15 @@ def stem_space_to_depth(images_nhwc: np.ndarray) -> np.ndarray:
     return _s2d2(xd)  # (B, H/4+1, W/4+1, 16C)
 
 
+def input_transform_for(model):
+    """The host-side layout transform a model's input contract needs:
+    stem_space_to_depth when CenterMask.s2d_input (TPU.S2D_STEM_INPUT),
+    identity otherwise."""
+    if getattr(model, "s2d_input", False):
+        return stem_space_to_depth
+    return lambda a: a
+
+
 def preprocess_for_model(
     path: str,
     fixed_size: int = FIXED_EDGE_SIZE,

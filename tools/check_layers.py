@@ -71,14 +71,17 @@ def cmd_dump(args, opts):
         cfg.merge_from_list(opts)
 
     model = build_centermask(cfg)
+    from centermask2_tpu.data.preprocess import input_transform_for
+    to_input = input_transform_for(model)
     fixed = cfg.TPU.FIXED_EDGE_SIZE
     if args.image:
-        x = jnp.asarray(preprocess_for_model(
+        x = jnp.asarray(to_input(preprocess_for_model(
             args.image, fixed, cfg.INPUT.MIN_SIZE_TEST,
-            cfg.INPUT.MAX_SIZE_TEST)["input"])
+            cfg.INPUT.MAX_SIZE_TEST)["input"]))
     else:
         rng = np.random.RandomState(args.seed)
-        x = jnp.asarray(rng.randn(1, fixed, fixed, 3).astype(np.float32) * 30)
+        x = jnp.asarray(to_input(
+            rng.randn(1, fixed, fixed, 3).astype(np.float32) * 30))
 
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
 

@@ -44,9 +44,10 @@ def main():
 
     model = build_centermask(cfg)
     fixed = cfg.TPU.FIXED_EDGE_SIZE
+    from centermask2_tpu.data.preprocess import input_transform_for
+    x0 = input_transform_for(model)(np.zeros((1, fixed, fixed, 3), np.float32))
     variables = jax.eval_shape(
-        lambda: model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, fixed, fixed, 3))))
+        lambda: model.init(jax.random.PRNGKey(0), jnp.asarray(x0)))
     init = jax.tree.map(lambda s: np.zeros(s.shape, np.float32),
                         variables["params"])
 

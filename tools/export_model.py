@@ -45,10 +45,14 @@ def main():
         cfg.merge_from_list(args.opts)
 
     model = build_centermask(cfg)
+    from centermask2_tpu.data.preprocess import input_transform_for
+    to_input = input_transform_for(model)
     fixed = cfg.TPU.FIXED_EDGE_SIZE
-    shape = (args.batch, fixed, fixed, 3)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
-                                    jnp.zeros((1, fixed, fixed, 3)))
+    shape = tuple(to_input(
+        np.zeros((args.batch, fixed, fixed, 3), np.float32)).shape)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.asarray(to_input(np.zeros((1, fixed, fixed, 3), np.float32))))
 
     if args.weights:
         if args.weights.endswith(".pth"):

@@ -9,6 +9,8 @@ import argparse
 import os
 import sys
 
+import numpy as np
+
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -39,7 +41,9 @@ def main():
     edge = args.edge or cfg.TPU.FIXED_EDGE_SIZE
 
     model = build_centermask(cfg)
-    shape = (1, edge, edge, 3)
+    from centermask2_tpu.data.preprocess import input_transform_for
+    to_input = input_transform_for(model)
+    shape = tuple(to_input(np.zeros((1, edge, edge, 3), np.float32)).shape)
     variables = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0), jnp.zeros(shape)))
     params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), variables)

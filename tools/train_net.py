@@ -66,8 +66,11 @@ def main():
     assert batch_size % n_dev == 0, (batch_size, n_dev)
 
     fixed = cfg.TPU.FIXED_EDGE_SIZE
-    params = jax.jit(model.init)(jax.random.PRNGKey(0),
-                                 jnp.zeros((1, fixed, fixed, 3)))
+    from centermask2_tpu.data.preprocess import input_transform_for
+    to_input = input_transform_for(model)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.asarray(to_input(np.zeros((1, fixed, fixed, 3), np.float32))))
     optimizer = make_optimizer(
         cfg.SOLVER.BASE_LR, tuple(cfg.SOLVER.STEPS),
         momentum=cfg.SOLVER.MOMENTUM, weight_decay=cfg.SOLVER.WEIGHT_DECAY,
@@ -114,7 +117,7 @@ def main():
             valid=jnp.asarray(batch["gt_valid"]),
             mask_patches=jnp.asarray(batch["gt_mask_patches"]),
             image_sizes=jnp.asarray(batch["image_size"], jnp.float32))
-        images = jnp.asarray(batch["image"])
+        images = jnp.asarray(to_input(batch["image"]))
         images, gt = shard_batch((images, gt), mesh)
         rng, step_rng = jax.random.split(rng)
         state, metrics = train_step(state, images, gt, step_rng)

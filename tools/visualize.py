@@ -74,7 +74,10 @@ def main():
     fixed = cfg.TPU.FIXED_EDGE_SIZE
     pre = preprocess_for_model(args.image, fixed, cfg.INPUT.MIN_SIZE_TEST,
                                cfg.INPUT.MAX_SIZE_TEST)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(pre["input"]))
+    from centermask2_tpu.data.preprocess import input_transform_for
+    to_input = input_transform_for(model)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.asarray(to_input(pre["input"])))
     if args.weights:
         from centermask2_tpu.checkpoint.convert_torch import (
             convert_checkpoint, load_torch_checkpoint, merge_params)
@@ -85,7 +88,8 @@ def main():
             jax.tree.map(np.asarray, variables["params"]), conv)
         variables = {"params": jax.tree.map(jnp.asarray, params)}
 
-    out = jax.tree.map(np.asarray, jax.jit(model.apply)(variables, jnp.asarray(pre["input"])))
+    out = jax.tree.map(np.asarray, jax.jit(model.apply)(
+        variables, jnp.asarray(to_input(pre["input"]))))
     valid = out.valid[0] & (out.scores[0] >= args.score_thresh)
     tup = (out.locations[0][valid], out.mask_scores[0][valid],
            out.pred_boxes[0][valid], out.pred_classes[0][valid],
