@@ -137,6 +137,71 @@ def test_mobilenetv2_shapes():
     assert out["res5"].shape == (1, 7, 7, 320)
 
 
+def test_resnet50_shapes():
+    from centermask2_tpu.models.backbones import ResNet, resnet_feature_channels
+
+    model = ResNet(depth=50, out_features=("res2", "res3", "res4", "res5"),
+                   dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    ch = resnet_feature_channels()
+    for i, stride in zip(range(2, 6), (4, 8, 16, 32)):
+        f = out[f"res{i}"]
+        assert f.shape == (1, 64 // stride, 64 // stride, ch[f"res{i}"]), f.shape
+
+
+def test_bottleneck_matches_torch_oracle():
+    """BottleneckBlock (stride_in_1x1, projection shortcut) vs a direct
+    torch composition with frozen-BN affines."""
+    import torch
+    import torch.nn.functional as TF
+
+    from centermask2_tpu.models.backbones.resnet import BottleneckBlock
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 16, 10, 10).astype(np.float32)  # NCHW for torch
+    blk = BottleneckBlock(out_channels=32, bottleneck_channels=8, stride=2,
+                          stride_in_1x1=True, dtype=jnp.float32)
+    xt = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    variables = blk.init(jax.random.PRNGKey(1), xt)
+    p = jax.tree.map(np.asarray, variables["params"])
+
+    def tconv(t, node, stride=1, pad=0):
+        w = torch.from_numpy(np.transpose(node["conv"]["kernel"], (3, 2, 0, 1)))
+        t = TF.conv2d(t, w, stride=stride, padding=pad)
+        s = torch.from_numpy(node["norm"]["frozen_scale"])
+        b = torch.from_numpy(node["norm"]["frozen_bias"])
+        return t * s[None, :, None, None] + b[None, :, None, None]
+
+    t = torch.from_numpy(x)
+    out = TF.relu(tconv(t, p["conv1"], stride=2))
+    out = TF.relu(tconv(out, p["conv2"], stride=1, pad=1))
+    out = tconv(out, p["conv3"])
+    short = tconv(t, p["shortcut"], stride=2)
+    ref = TF.relu(out + short).numpy()
+
+    got = np.transpose(np.asarray(blk.apply(variables, xt)), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_resnet_centermask_from_cfg():
+    from centermask2_tpu.config import get_cfg
+    from centermask2_tpu.models import build_centermask
+
+    cfg = get_cfg()
+    cfg.MODEL.BACKBONE.NAME = "build_fcos_resnet_fpn_backbone"
+    cfg.MODEL.FCOS.POST_NMS_TOPK_TEST = 5
+    cfg.MODEL.FCOS.PRE_NMS_TOPK_TEST = 20
+    cfg.TPU.NMS_CANDIDATES = 20
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    model = build_centermask(cfg)
+    assert model.backbone_type == "resnet"
+    x = jnp.zeros((1, 64, 64, 3))
+    params = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), x))
+    assert "res5_2" in params["params"]["backbone"]
+
+
 def test_host_s2d_input_matches_plain_backbone():
     """VoVNet(s2d_input=True) on host space-to-depth'd input must equal
     the plain backbone on the raw image (same params)."""

@@ -98,6 +98,27 @@ def test_full_coverage(body, dw):
     assert jax.tree.structure(merged) == jax.tree.structure(flax_params)
 
 
+def test_resnet_full_coverage():
+    """Every ResNet-50 flax param is fillable from a detectron2-schema
+    state dict (stem.conv1 / res{s}.{b}.conv{c}[.norm] / shortcut)."""
+    model = CenterMask(backbone_type="resnet",
+                       fpn_in_features=("res3", "res4", "res5"),
+                       dtype=jnp.float32, post_nms_topk_test=5,
+                       pre_nms_topk_test=20, nms_candidates=20)
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))))
+    flax_params = jax.tree.map(lambda x: np.zeros(x.shape, np.float32),
+                               variables["params"])
+
+    _, report = convert_checkpoint({}, backbone="resnet")
+    rng = np.random.RandomState(0)
+    sd = synth_torch_sd(flax_params, report["mapping"], rng)
+    converted, report2 = convert_checkpoint(sd, backbone="resnet")
+    merged, missing = merge_params(flax_params, converted)
+    assert missing == [], f"unfilled params: {missing[:20]}"
+    assert report2["unused_torch_keys"] == []
+
+
 def test_frozen_bn_fold_numeric():
     w = np.array([2.0, 0.5])
     b = np.array([1.0, -1.0])

@@ -52,7 +52,11 @@ def main():
                         variables["params"])
 
     sd = load_torch_checkpoint(args.pth)
-    converted, report = convert_checkpoint(sd, conv_body=cfg.MODEL.VOVNET.CONV_BODY)
+    converted, report = convert_checkpoint(
+        sd, conv_body=cfg.MODEL.VOVNET.CONV_BODY,
+        backbone=("resnet" if "resnet" in cfg.MODEL.BACKBONE.NAME
+                  else "vovnet"),
+        resnet_depth=cfg.MODEL.RESNETS.DEPTH)
     params, missing = merge_params(init, converted)
 
     n_total = len(jax.tree.leaves(init))

@@ -60,7 +60,11 @@ def main():
                 convert_checkpoint, load_torch_checkpoint, merge_params)
 
             sd = load_torch_checkpoint(args.weights)
-            conv, _ = convert_checkpoint(sd, conv_body=cfg.MODEL.VOVNET.CONV_BODY)
+            conv, _ = convert_checkpoint(
+                sd, conv_body=cfg.MODEL.VOVNET.CONV_BODY,
+                backbone=("resnet" if "resnet" in cfg.MODEL.BACKBONE.NAME
+                          else "vovnet"),
+                resnet_depth=cfg.MODEL.RESNETS.DEPTH)
             params, missing = merge_params(
                 jax.tree.map(np.asarray, variables["params"]), conv)
             if missing:

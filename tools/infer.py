@@ -77,7 +77,11 @@ def main():
     if args.weights:
         if args.weights.endswith(".pth"):
             sd = load_torch_checkpoint(args.weights)
-            converted, _ = convert_checkpoint(sd, conv_body=cfg.MODEL.VOVNET.CONV_BODY)
+            converted, _ = convert_checkpoint(
+                sd, conv_body=cfg.MODEL.VOVNET.CONV_BODY,
+                backbone=("resnet" if "resnet" in cfg.MODEL.BACKBONE.NAME
+                          else "vovnet"),
+                resnet_depth=cfg.MODEL.RESNETS.DEPTH)
             params, missing = merge_params(
                 jax.tree.map(np.asarray, variables["params"]), converted)
             if missing:
