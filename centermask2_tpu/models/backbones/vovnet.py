@@ -235,43 +235,63 @@ def s2d_stem_forward(xd2, k1, k2, k3, dtype) -> jnp.ndarray:
     xd2: (B, Hd, Wd, 48) from stem_space_to_depth; k1/k2/k3:
     (kernel, frozen_scale, frozen_bias) tuples. Returns the stem output
     (B, Hd-1, Wd-1, C3) in plain NHWC layout.
+
+    Kernel packing (r2 profile: 4 separate O=64 phase convs cap at 50%
+    MXU lane utilization and the two phase concats cost ~0.35 ms):
+    - stem_1: all 4 phases in ONE conv — phase kernels concatenated
+      along the output axis, producing y1d directly (no concat op).
+    - stem_2: phases paired over Q — the Q=0/Q=1 window columns differ
+      by one, so both fit a (2, 3) kernel with each phase's 2x2 kernel
+      zero-embedded at column offset Q; two convs with 2*C2 = 128
+      output channels run at full lane width.
+    - stem_3: its (2, 2, 4*C2, C3) kernel is split channel-wise across
+      the two stem_2 pair outputs and summed, so y2d is never
+      materialized as a concat either.
     """
     w1, s1, b1 = k1
     w2, s2, b2 = k2
     w3, s3, b3 = k3
 
-    def affine_relu(y, s, b):
-        return jax.nn.relu(y * s.astype(y.dtype) + b.astype(y.dtype))
+    def affine_relu(y, s, b, rep):
+        s = jnp.tile(s, rep).astype(y.dtype)
+        b = jnp.tile(b, rep).astype(y.dtype)
+        return jax.nn.relu(y * s + b)
 
     # stem_1: 4 output phases of y1 (the conv3x3/s2/p1 on the image),
-    # computed straight from xd2 (window base a=0 -> no input padding)
+    # computed straight from xd2 (window base a=0 -> no input padding),
+    # packed (p, q) row-major along channels = the s2d block order
+    # _embed_s2d_kernel expects downstream
     w1r = regroup_stem1_kernel(w1)  # (2, 2, 12, C1)
-    y1_phases = [
-        affine_relu(_conv2x2_valid(xd2, _embed_stem1_kernel(w1r, p, q), dtype),
-                    s1, b1)
-        for p in (0, 1) for q in (0, 1)
-    ]
-    y1d = jnp.concatenate(y1_phases, axis=-1)  # (B, Hd-1, Wd-1, 4*C1)
+    k1all = jnp.concatenate(
+        [_embed_stem1_kernel(w1r, p, q) for p in (0, 1) for q in (0, 1)],
+        axis=-1)  # (2, 2, 48, 4*C1)
+    y1d = affine_relu(_conv2x2_valid(xd2, k1all, dtype), s1, b1, 4)
 
-    # stem_2: conv3x3/s1/p1 in s2d space — 4 phase convs over the
+    # stem_2: conv3x3/s1/p1 in s2d space — 2 paired phase convs over the
     # 1-padded y1d (zero rows/cols of y1d are exactly y1's conv padding)
     y1p = jnp.pad(y1d, ((0, 0), (1, 1), (1, 1), (0, 0)))
     h, w = y1d.shape[1], y1d.shape[2]
-    y2_phases = [
-        affine_relu(
-            _conv2x2_valid(y1p[:, P:P + h + 1, Q:Q + w + 1, :],
-                           _embed_s2d_kernel(w2, P, Q), dtype),
-            s2, b2)
-        for P in (0, 1) for Q in (0, 1)
-    ]
-    y2d = jnp.concatenate(y2_phases, axis=-1)  # (B, Hd-1, Wd-1, 4*C2)
+    C1x4, C2 = y1p.shape[-1], w2.shape[-1]
+    y2_pairs = []
+    for P in (0, 1):
+        kp = jnp.zeros((2, 3, C1x4, 2 * C2), w2.dtype)
+        for Q in (0, 1):
+            kq = _embed_s2d_kernel(w2, P, Q)  # (2, 2, 4*C1, C2)
+            kp = kp.at[:, Q:Q + 2, :, Q * C2:(Q + 1) * C2].set(kq)
+        y2_pairs.append(affine_relu(
+            _conv2x2_valid(y1p[:, P:P + h + 1, :, :], kp, dtype), s2, b2, 2))
 
     # stem_3: conv3x3/s2/p1 — its stride-2 output lands exactly on the
-    # s2d grid: one phase-(0,0) conv, plain NHWC result
-    y2p = jnp.pad(y2d, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    y3 = _conv2x2_valid(y2p[:, :h + 1, :w + 1, :],
-                        _embed_s2d_kernel(w3, 0, 0), dtype)
-    return affine_relu(y3, s3, b3)
+    # s2d grid: one phase-(0,0) conv, evaluated as two channel-half
+    # convs over the (top/left zero-padded) stem_2 pairs and summed
+    k3 = _embed_s2d_kernel(w3, 0, 0)  # (2, 2, 4*C2, C3)
+    y3 = None
+    for P in (0, 1):
+        yp = jnp.pad(y2_pairs[P], ((0, 0), (1, 0), (1, 0), (0, 0)))
+        part = _conv2x2_valid(yp, k3[:, :, 2 * P * C2:2 * (P + 1) * C2, :],
+                              dtype)
+        y3 = part if y3 is None else y3 + part
+    return affine_relu(y3, s3, b3, 1)
 
 
 class S2DStemConv(nn.Module):
