@@ -111,7 +111,9 @@ def decode_single_image(
         # costs 0.1-0.2 ms on TPU regardless of size, ~0.7 ms/img total
         # at 1344 in the round-2 profile).
         scores_cat = jnp.concatenate(masked_levels, axis=0)  # (L, C)
-        loc_best = jnp.max(scores_cat, axis=1)  # (L,)
+        # f32 for the top-k reduction: bf16 sort/approx_max_k lowers to a
+        # 2-6x slower TPU path (measured 0.065 vs 0.034 ms at L=37.6k)
+        loc_best = jnp.max(scores_cat, axis=1).astype(jnp.float32)  # (L,)
         locs_cat = jnp.concatenate(locations, axis=0)
         reg_cat = jnp.concatenate(
             [r.astype(jnp.float32) * strides[lvl]
