@@ -114,6 +114,11 @@ def decode_single_image(
         # f32 for the top-k reduction: bf16 sort/approx_max_k lowers to a
         # 2-6x slower TPU path (measured 0.065 vs 0.034 ms at L=37.6k)
         loc_best = jnp.max(scores_cat, axis=1).astype(jnp.float32)  # (L,)
+        # fusion boundary: without it XLA fuses the masked-score producer
+        # into the top-k sort body and recomputes it per comparison
+        # (profiled 0.23 ms vs 0.03 ms standalone at L=37.6k)
+        scores_cat, loc_best = jax.lax.optimization_barrier(
+            (scores_cat, loc_best))
         locs_cat = jnp.concatenate(locations, axis=0)
         reg_cat = jnp.concatenate(
             [r.astype(jnp.float32) * strides[lvl]
@@ -124,6 +129,8 @@ def decode_single_image(
         # top-K locations by max-class score (its max dominates it)
         _, top_locs = _top_k(loc_best, k_loc, approx_topk)
         rows = jnp.take(scores_cat, top_locs, axis=0).astype(jnp.float32)
+        rows = jax.lax.optimization_barrier(rows)  # same: keep the gather
+        # out of the second sort's fusion body
         vals, flat_idx = _top_k(rows.reshape(-1), min(K, rows.size),
                                 approx_topk)
         valid = vals > 0.0
