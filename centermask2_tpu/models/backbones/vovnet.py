@@ -384,7 +384,12 @@ class OSAModule(nn.Module):
         # materializes each f32 partial product, while the concat layout
         # lets every layer conv write straight into its slice of the
         # concat buffer (the DUS fusions in the profile) — already
-        # optimal HBM traffic.
+        # optimal HBM traffic. A second rewrite (zero-padding each
+        # concat segment to the 128-lane boundary + zero-embedded agg
+        # kernel rows, to kill the lane-shift copies on the misaligned
+        # 160/192/224-ch stages) also measured SLOWER end to end
+        # (8.25 -> 8.55 ms/img): the +45% agg-conv FLOPs on the padded
+        # input outweigh the ~0.3 ms of relayout copies it saves.
         x = jnp.concatenate(outputs, axis=-1)
         xt = ConvNormAct(
             self.concat_ch, kernel_size=(1, 1), padding=(0, 0),

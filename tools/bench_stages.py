@@ -33,15 +33,26 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from centermask2_tpu.data.preprocess import stem_space_to_depth
     from centermask2_tpu.models import CenterMask
     from centermask2_tpu.models.fcos import compute_locations, decode_batch
 
     edge = int(os.environ.get("BENCH_EDGE", "1344"))
+    # match bench.py's serving config: s2d stem input + bf16 params
+    # (override with BENCH_S2D=0 / BENCH_BF16=0 for the fp32 NHWC path)
+    s2d = os.environ.get("BENCH_S2D", "1") == "1"
+    bf16 = os.environ.get("BENCH_BF16", "1") == "1"
     model = CenterMask(conv_body="V-39-eSE", mask_on=True, maskiou_on=True,
-                       post_nms_topk_test=50, nms_candidates=1000)
+                       post_nms_topk_test=50, nms_candidates=1000,
+                       s2d_input=s2d)
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(1, edge, edge, 3).astype(np.float32) * 30)
+    x_img = rng.randn(1, edge, edge, 3).astype(np.float32) * 30
+    x = jnp.asarray(stem_space_to_depth(x_img) if s2d else x_img)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    if bf16:
+        params = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+            params)
 
     # stage 1: backbone + FPN
     def feats_fn(im):
