@@ -233,6 +233,10 @@ _C.TPU.POOLER_SAMPLING_RATIO = 2
 _C.TPU.S2D_STEM_INPUT = False
 # Size buckets (shortest-edge padded sizes) for batched inference.
 _C.TPU.SIZE_BUCKETS = [896, 1120, 1344]
+# Rematerialize the backbone in the backward pass (jax.checkpoint):
+# drops all backbone activations from HBM at ~15% extra forward FLOPs,
+# for large-batch / large-resolution training.
+_C.TPU.REMAT_BACKBONE = False
 
 
 def get_cfg() -> CN:

@@ -131,16 +131,24 @@ class CenterMask(nn.Module):
     # input layout: images are host space-to-depth'd (B, H/4+1, W/4+1, 48)
     # via data/preprocess.py:stem_space_to_depth (vovnet, non-dw only)
     s2d_input: bool = False
+    # rematerialize the backbone in the backward pass (jax.checkpoint):
+    # trades ~15% extra forward FLOPs for dropping every backbone
+    # activation from HBM — the multi-scale 3x recipe at 1344 keeps
+    # ~1.4 GB of stem/OSA activations per image otherwise (TPU.REMAT_BACKBONE)
+    remat_backbone: bool = False
     # compute
     dtype: Any = jnp.bfloat16
 
     def setup(self):
+        def maybe_remat(cls):
+            return nn.remat(cls) if self.remat_backbone else cls
+
         if self.backbone_type == "mobilenet":
-            self.backbone = MobileNetV2(
+            self.backbone = maybe_remat(MobileNetV2)(
                 out_features=tuple(self.fpn_in_features), dtype=self.dtype)
         elif self.backbone_type == "resnet":
             # reference build_fcos_resnet_fpn_backbone (fpn.py:56-87)
-            self.backbone = ResNet(
+            self.backbone = maybe_remat(ResNet)(
                 depth=self.resnet_depth,
                 out_features=tuple(self.fpn_in_features),
                 norm=self.resnet_norm,
@@ -152,7 +160,7 @@ class CenterMask(nn.Module):
                 stem_out_channels=self.resnet_stem_out_channels,
                 dtype=self.dtype)
         else:
-            self.backbone = VoVNet(
+            self.backbone = maybe_remat(VoVNet)(
                 body=self.conv_body, out_features=tuple(self.fpn_in_features),
                 norm=self.backbone_norm,
                 stage_with_dcn=tuple(self.stage_with_dcn),
@@ -596,5 +604,6 @@ def build_centermask(cfg: CfgNode) -> CenterMask:
         positive_fraction=cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION,
         max_fg_proposals=cfg.TPU.MAX_FG_PROPOSALS,
         s2d_input=(cfg.TPU.S2D_STEM_INPUT and backbone_type == "vovnet"),
+        remat_backbone=cfg.TPU.REMAT_BACKBONE,
         dtype=dtype,
     )

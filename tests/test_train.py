@@ -109,6 +109,41 @@ def test_batchnorm_training_updates_running_stats():
 
 
 @pytest.mark.slow
+def test_remat_backbone_same_gradients():
+    """TPU.REMAT_BACKBONE (jax.checkpoint on the backbone) must be
+    semantics-preserving: identical losses and gradients, just less
+    activation memory."""
+    from centermask2_tpu.models import CenterMask, GroundTruth
+
+    kw = dict(conv_body="V-19-slim-eSE", mask_on=False, maskiou_on=False,
+              pre_nms_topk_train=20, post_nms_topk_train=10,
+              nms_candidates=20, dtype=jnp.float32)
+    model = CenterMask(**kw)
+    model_r = CenterMask(remat_backbone=True, **kw)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32) * 20)
+    gt = GroundTruth(
+        boxes=jnp.asarray([[[8, 8, 40, 40]]], jnp.float32),
+        classes=jnp.zeros((1, 1), jnp.int32),
+        valid=jnp.ones((1, 1), bool),
+        mask_patches=jnp.zeros((1, 1, 8, 8)))
+    variables = model.init(jax.random.PRNGKey(0), images)
+
+    def total_loss(m):
+        def f(v):
+            losses = m.apply(v, images, gt, jax.random.PRNGKey(1),
+                             method=CenterMask.loss)
+            return sum(losses.values())
+        return jax.jit(jax.value_and_grad(f))(variables)
+
+    (l0, g0), (l1, g1) = total_loss(model), total_loss(model_r)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
 def test_dryrun_multichip_2dev():
     """The driver contract: full DP train step on a virtual mesh."""
     import sys, os
