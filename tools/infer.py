@@ -34,6 +34,9 @@ def parse_args():
     p.add_argument("--weights", default=None)
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard each batch over all local devices "
+                        "(batch-size must be a multiple of the device count)")
     p.add_argument("--output-dir", default="output/infer")
     p.add_argument("--tasks", default="bbox,segm")
     p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
@@ -92,7 +95,26 @@ def main():
             variables = load_checkpoint(args.weights, target=variables)
 
     fn = jax.jit(lambda v, im: model.apply(v, im))
-    if args.batch_size > 1:
+    if args.data_parallel and args.batch_size > 1:
+        # SPMD serving: batch sharded over the data mesh, each device
+        # running the optimized single-image program on its shard
+        from centermask2_tpu.parallel import (
+            default_image_sizes, make_dp_inference, make_mesh, replicate,
+            shard_batch)
+
+        mesh = make_mesh()
+        ndev = len(mesh.devices.ravel())
+        if args.batch_size % ndev:
+            raise SystemExit(
+                f"--batch-size {args.batch_size} not divisible by "
+                f"{ndev} devices")
+        variables = replicate(variables, mesh)
+        dp_infer = make_dp_inference(model, mesh)
+
+        def fn(v, im):  # noqa: F811 - dispatch wrapper
+            sizes = default_image_sizes(model, im)
+            return dp_infer(v, *shard_batch((im, sizes), mesh))
+    elif args.batch_size > 1:
         fn = jax.jit(lambda v, im: model.apply(v, im,
                                                method="inference_batched"))
 
