@@ -59,9 +59,14 @@ class COCOGt:
 
 def _match_image(
     dts: List[Dict], gts: List[Dict], ious: np.ndarray,
-    area_rng, max_det: int,
+    area_rng, max_det: int, use_native: bool = True,
 ):
-    """COCOeval.evaluateImg for one (img, cat, areaRng, maxDet)."""
+    """COCOeval.evaluateImg for one (img, cat, areaRng, maxDet).
+
+    The O(T*D*G) greedy matching runs in native code by default
+    (maskapi.cpp:coco_match — the reference stack's COCOeval_opt
+    equivalent, coco_evaluation.py:25,566); ``use_native=False`` selects
+    the pure-Python loop kept as the parity oracle."""
     T = len(IOU_THRS)
     gt_ignore = np.array(
         [bool(g.get("iscrowd", 0)) or g["area"] < area_rng[0]
@@ -78,29 +83,35 @@ def _match_image(
         np.zeros((len(dts_sorted), len(gts_sorted)))
 
     D, G = len(dts_sorted), len(gts_sorted)
-    dt_matches = np.zeros((T, D), np.int64)
-    gt_matches = np.zeros((T, G), np.int64)
-    dt_ignore = np.zeros((T, D), bool)
-
-    for t, thr in enumerate(IOU_THRS):
-        for d in range(D):
-            best = min(thr, 1 - 1e-10)
-            m = -1
-            for g in range(G):
-                if gt_matches[t, g] > 0 and not gts_sorted[g].get("iscrowd", 0):
+    if use_native:
+        dt_matches, _, dt_ignore = rle_lib.coco_match(
+            IOU_THRS, iou_m, gt_ig,
+            np.array([g.get("iscrowd", 0) for g in gts_sorted], np.uint8),
+            np.array([g["id"] for g in gts_sorted], np.int64),
+            np.array([d["id"] for d in dts_sorted], np.int64))
+    else:
+        dt_matches = np.zeros((T, D), np.int64)
+        gt_matches = np.zeros((T, G), np.int64)
+        dt_ignore = np.zeros((T, D), bool)
+        for t, thr in enumerate(IOU_THRS):
+            for d in range(D):
+                best = min(thr, 1 - 1e-10)
+                m = -1
+                for g in range(G):
+                    if gt_matches[t, g] > 0 and not gts_sorted[g].get("iscrowd", 0):
+                        continue
+                    # stop at ignored gt if a real match was already found
+                    if m > -1 and not gt_ig[m] and gt_ig[g]:
+                        break
+                    if iou_m[d, g] < best:
+                        continue
+                    best = iou_m[d, g]
+                    m = g
+                if m == -1:
                     continue
-                # stop at ignored gt if a real match was already found
-                if m > -1 and not gt_ig[m] and gt_ig[g]:
-                    break
-                if iou_m[d, g] < best:
-                    continue
-                best = iou_m[d, g]
-                m = g
-            if m == -1:
-                continue
-            dt_ignore[t, d] = gt_ig[m]
-            dt_matches[t, d] = gts_sorted[m]["id"]
-            gt_matches[t, m] = dts_sorted[d]["id"]
+                dt_ignore[t, d] = gt_ig[m]
+                dt_matches[t, d] = gts_sorted[m]["id"]
+                gt_matches[t, m] = dts_sorted[d]["id"]
 
     # unmatched dts outside area range are ignored
     a = np.array([

@@ -214,4 +214,45 @@ int64_t rle_merge(const uint32_t* a, int64_t ma, const uint32_t* b,
   return m;
 }
 
+// ---------------------------------------------------------------------------
+// COCOeval greedy matching for one (image, category, areaRng, maxDet)
+// cell — the O(T*D*G) inner loop of evaluateImg, the hot path COCOeval_opt
+// moves to C++ in the reference's stack (coco_evaluation.py:25,566).
+// Inputs are in sorted order (dts by -score capped at maxDet; gts
+// non-ignored first). Semantics mirror pycocotools exactly: a dt takes
+// the best gt with iou >= max(thr, current best) (later index wins
+// ties), crowd gts can be matched repeatedly, and the scan stops at the
+// first ignored gt once a real match exists. Outputs must be
+// zero-initialized by the caller.
+void coco_match(const double* iou_thrs, int64_t T,
+                const double* ious,  // D x G row-major (sorted order)
+                int64_t D, int64_t G,
+                const uint8_t* gt_ig, const uint8_t* gt_crowd,
+                const int64_t* gt_ids, const int64_t* dt_ids,
+                int64_t* dt_matches,  // T x D
+                int64_t* gt_matches,  // T x G
+                uint8_t* dt_ignore) { // T x D
+  for (int64_t t = 0; t < T; ++t) {
+    int64_t* gm = gt_matches + t * G;
+    int64_t* dm = dt_matches + t * D;
+    uint8_t* di = dt_ignore + t * D;
+    for (int64_t d = 0; d < D; ++d) {
+      double best = std::min(iou_thrs[t], 1.0 - 1e-10);
+      int64_t m = -1;
+      const double* row = ious + d * G;
+      for (int64_t g = 0; g < G; ++g) {
+        if (gm[g] > 0 && !gt_crowd[g]) continue;
+        if (m > -1 && !gt_ig[m] && gt_ig[g]) break;
+        if (row[g] < best) continue;
+        best = row[g];
+        m = g;
+      }
+      if (m < 0) continue;
+      di[d] = gt_ig[m];
+      dm[d] = gt_ids[m];
+      gm[m] = dt_ids[d];
+    }
+  }
+}
+
 }  // extern "C"

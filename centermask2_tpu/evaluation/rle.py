@@ -59,6 +59,9 @@ def _lib() -> ctypes.CDLL:
             lib.rle_merge.restype = i64
             lib.rle_merge.argtypes = [u32p, i64, u32p, i64, ctypes.c_int32,
                                       u32p, i64]
+            lib.coco_match.restype = None
+            lib.coco_match.argtypes = [f64p, i64, f64p, i64, i64, u8p, u8p,
+                                       i64p, i64p, i64p, i64p, u8p]
             _LIB = lib
     return _LIB
 
@@ -145,6 +148,30 @@ def iou(dt: Sequence[RLE], gt: Sequence[RLE],
     _lib().rle_iou(dt_counts, dt_off, dt_len, len(dt), gt_counts, gt_off,
                    gt_len, len(gt), crowd, out)
     return out
+
+
+def coco_match(iou_thrs: np.ndarray, ious: np.ndarray,
+               gt_ignore: np.ndarray, gt_crowd: np.ndarray,
+               gt_ids: np.ndarray, dt_ids: np.ndarray):
+    """Native COCOeval greedy matching (evaluateImg inner loop) for one
+    (image, category, areaRng, maxDet) cell. ``ious`` is (D, G) in
+    sorted-dt x sorted-gt order. Returns (dt_matches (T, D) int64 gt
+    ids, gt_matches (T, G) int64 dt ids, dt_ignore (T, D) bool)."""
+    T = len(iou_thrs)
+    D, G = ious.shape
+    dt_matches = np.zeros((T, D), np.int64)
+    gt_matches = np.zeros((T, G), np.int64)
+    dt_ignore = np.zeros((T, D), np.uint8)
+    if D and G:
+        _lib().coco_match(
+            np.ascontiguousarray(iou_thrs, np.float64), T,
+            np.ascontiguousarray(ious, np.float64), D, G,
+            np.ascontiguousarray(gt_ignore, np.uint8),
+            np.ascontiguousarray(gt_crowd, np.uint8),
+            np.ascontiguousarray(gt_ids, np.int64),
+            np.ascontiguousarray(dt_ids, np.int64),
+            dt_matches, gt_matches, dt_ignore)
+    return dt_matches, gt_matches, dt_ignore.astype(bool)
 
 
 def bbox_iou(dt: np.ndarray, gt: np.ndarray,

@@ -103,6 +103,51 @@ def make_gt():
     })
 
 
+def test_native_match_equals_python_oracle():
+    """maskapi.cpp:coco_match must reproduce the pure-Python evaluateImg
+    loop exactly — random scenes with crowds, ignored areas, duplicate
+    detections, and IoU ties."""
+    from centermask2_tpu.evaluation.coco_eval import AREA_RNG, _match_image
+
+    rng = np.random.RandomState(7)
+    next_id = [1]
+
+    def make(n, crowd_frac=0.0):
+        items = []
+        for _ in range(n):
+            w, h = rng.uniform(4, 60, 2)
+            x, y = rng.uniform(0, 80, 2)
+            items.append({
+                "id": next_id[0],
+                "bbox": [x, y, w, h],
+                "area": float(w * h),
+                "score": float(np.round(rng.rand(), 2)),  # force ties
+                "iscrowd": int(rng.rand() < crowd_frac),
+            })
+            next_id[0] += 1
+        return items
+
+    for trial in range(20):
+        dts = make(rng.randint(0, 12))
+        gts = make(rng.randint(0, 9), crowd_frac=0.3)
+        crowd = [g["iscrowd"] for g in gts]
+        d = np.array([x["bbox"] for x in dts], np.float64).reshape(-1, 4)
+        g = np.array([x["bbox"] for x in gts], np.float64).reshape(-1, 4)
+        ious = (rle.bbox_iou(d, g, crowd) if len(dts) and len(gts)
+                else np.zeros((len(dts), len(gts))))
+        for rng_name, area_rng in AREA_RNG.items():
+            for max_det in (1, 10, 100):
+                a = _match_image(dts, gts, ious, area_rng, max_det,
+                                 use_native=True)
+                b = _match_image(dts, gts, ious, area_rng, max_det,
+                                 use_native=False)
+                for key in ("dt_scores", "dt_matches", "dt_ignore"):
+                    np.testing.assert_array_equal(
+                        a[key], b[key],
+                        err_msg=f"trial={trial} {rng_name} md={max_det} {key}")
+                assert a["num_gt"] == b["num_gt"]
+
+
 def test_perfect_predictions_ap100():
     gt = make_gt()
     dets = []

@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Training-step benchmark on the local accelerator.
+
+Measures one full DP train step (forward + backward + SGD update) of the
+flagship V-39-eSE config at the reference recipe's per-device batch
+(16 imgs / 8 GPUs = 2; README.md:266-290). Chained-dependency timing as
+in bench.py: n steps inside one jitted fori_loop with a traced bound.
+
+env: BENCH_EDGE (default 896; 1344 = deployment canvas, slow compile),
+     BENCH_BATCH (default 2), BENCH_ITERS (default 5), BENCH_REMAT (0/1).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/root/.cache/jax_comp_cache")
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from centermask2_tpu.utils.platform import apply_platform_override
+    apply_platform_override()
+    import jax.numpy as jnp
+
+    from centermask2_tpu.models import CenterMask, GroundTruth
+    from centermask2_tpu.train import make_optimizer
+    from centermask2_tpu.train.trainer import create_train_state, make_train_step
+
+    edge = int(os.environ.get("BENCH_EDGE", "896"))
+    B = int(os.environ.get("BENCH_BATCH", "2"))
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    remat = os.environ.get("BENCH_REMAT", "0") == "1"
+
+    model = CenterMask(conv_body="V-39-eSE", mask_on=True, maskiou_on=True,
+                       remat_backbone=remat)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(B, edge, edge, 3).astype(np.float32) * 30)
+    G = 20
+    boxes = np.zeros((B, G, 4), np.float32)
+    boxes[..., 2:] = rng.uniform(40, edge / 2, (B, G, 2))
+    boxes[..., :2] = rng.uniform(0, edge / 2, (B, G, 2))
+    boxes[..., 2:] += boxes[..., :2]
+    gt = GroundTruth(
+        boxes=jnp.asarray(boxes),
+        classes=jnp.asarray(rng.randint(0, 80, (B, G)), jnp.int32),
+        valid=jnp.ones((B, G), bool),
+        mask_patches=jnp.asarray(
+            (rng.rand(B, G, 28, 28) > 0.5).astype(np.float32)))
+
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), images[:1])
+    opt = make_optimizer(0.01, (60000, 80000),
+                         params_example=variables["params"])
+    state = create_train_state(variables, opt)
+    step = make_train_step(model, opt)
+
+    def chained(state, n):
+        def body(i, s):
+            s2, _ = step(s, images, gt, jax.random.fold_in(
+                jax.random.PRNGKey(0), i))
+            return s2
+        return jax.lax.fori_loop(0, n, body, state)
+
+    fn = jax.jit(chained)
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn(state, 1))
+    print(f"compile+warmup: {time.perf_counter() - t0:.1f} s", file=sys.stderr)
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(state, 1))
+        t_one = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(state, iters))
+        t_many = time.perf_counter() - t0
+        best = min(best, (t_many - t_one) / (iters - 1))
+
+    ms = best * 1000.0
+    import json
+    print(json.dumps({
+        "metric": "centermask2_v39_train_step",
+        "value": round(ms, 2),
+        "unit": "ms/step",
+        "edge": edge,
+        "batch": B,
+        "remat": remat,
+        "imgs_per_sec": round(B / best, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
