@@ -294,9 +294,12 @@ class CenterMask(nn.Module):
 
         Rationale: at batch > 1 XLA's TPU conv-layout choices regress —
         fusion stops around elementwise ops and relayout copies appear
-        (measured 16.3 ms/img at B=4 vs 9.2 ms/img single, round-2
-        profile) — so the fastest batched throughput is the optimized
-        B=1 graph run per image under lax.map.
+        (measured 16.3 ms/img at B=4 vs 9.2 ms/img single in the first
+        round-2 profile; re-measured 15.4 vs 8.9 after the eSE
+        dense-gate and ROI-pool rewrites, so the regression is the conv
+        layouts themselves) — so the fastest batched throughput is the
+        optimized B=1 graph run per image under lax.map. For multi-chip
+        throughput, shard the batch instead (parallel/serve.py).
         """
         def one(args):
             im, sz = args

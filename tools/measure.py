@@ -61,8 +61,11 @@ def main():
     for name, fn in [("backbone+fpn", feats), ("full inference", full)]:
         st = measure_model(fn, params, jnp.zeros(shape))
         flops = st.get("flops", 0)
-        print(f"{name}: {flops / 1e9:.1f} GFLOP, "
-              f"{st.get('bytes_accessed', 0) / 1e9:.2f} GB accessed (pre-fusion)")
+        line = (f"{name}: {flops / 1e9:.1f} GFLOP, "
+                f"{st.get('bytes_accessed', 0) / 1e9:.2f} GB accessed (pre-fusion)")
+        if st.get("peak_temp_bytes"):
+            line += f", {st['peak_temp_bytes'] / 1e6:.0f} MB peak HBM temps"
+        print(line)
 
 
 if __name__ == "__main__":
