@@ -209,9 +209,11 @@ _C.TEST.EVAL_PERIOD = 0
 _C.TPU = CN()
 # Fixed padded input edge for the export/inference path.
 _C.TPU.FIXED_EDGE_SIZE = 1344
-# Use TPU-optimized approximate top-k in decode (recall ~0.95 at the
-# candidate tail; exact on CPU). Set False for bit-exact parity runs.
-_C.TPU.APPROX_TOPK = True
+# Use approximate top-k (approx_max_k, recall ~0.95 at the candidate
+# tail) in decode. Off by default: exact top_k is both reference-exact
+# and measured faster on v5e after the round-2 decode rewrite
+# (models/meta.py:approx_topk).
+_C.TPU.APPROX_TOPK = False
 # Per-level candidate capacity before NMS (= PRE_NMS_TOPK).
 _C.TPU.NMS_CANDIDATES = 1000
 # Max ground-truth instances per image (training padding capacity).

@@ -55,12 +55,13 @@ def _top_k(x: jnp.ndarray, k: int, approx: bool) -> Tuple[jnp.ndarray, jnp.ndarr
     custom call; the recall loss only affects candidates ranked near
     position k, the lowest-scoring tail that rarely survives NMS.
 
-    NOTE: the shipped default is approx=True (TPU.APPROX_TOPK) — default
-    inference numerics deviate from the reference at the candidate tail.
-    tests/test_ablations.py quantifies the effect (top-10 identical,
-    >=90% keep-set overlap on dense scenes); parity/golden tests pin
-    approx_topk=False explicitly. On inputs smaller than 4k the call
-    falls back to exact top_k regardless.
+    NOTE: the shipped default is approx=False — exact top_k both matches
+    reference numerics and measures FASTER than approx_max_k at the
+    decode's shapes on v5e after the f32-key/barrier rewrite (6.7-7.4 vs
+    8.7 ms/img e2e). If enabled (TPU.APPROX_TOPK), numerics deviate at
+    the candidate tail; tests/test_ablations.py quantifies the effect
+    (top-10 identical, >=90% keep-set overlap on dense scenes). On
+    inputs smaller than 4k the call falls back to exact top_k regardless.
     """
     if approx and x.shape[-1] > 4 * k:
         return jax.lax.approx_max_k(x, k, recall_target=0.95)

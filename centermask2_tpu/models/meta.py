@@ -111,7 +111,12 @@ class CenterMask(nn.Module):
     post_nms_topk_train: int = 100
     nms_thresh: float = 0.6
     nms_candidates: int = 1000
-    approx_topk: bool = True  # TPU-fast decode top-k (exact on CPU)
+    # approximate decode top-k (recall 0.95 tail). Off: after the f32
+    # sort-key + fusion-barrier decode rewrite, exact top_k measures
+    # FASTER than approx_max_k at these shapes (6.7-7.4 vs 8.7 ms/img
+    # e2e on v5e) AND matches reference numerics — the r1 "approx is
+    # faster" result is stale. Kept as a flag for other shapes/stacks.
+    approx_topk: bool = False
     # roi
     mask_on: bool = True
     maskiou_on: bool = True
