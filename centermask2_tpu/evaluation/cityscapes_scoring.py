@@ -166,8 +166,9 @@ def _score_class_overlap(per_image: List[Dict], min_overlap: float
     if have_gt:
         return _average_precision(np.asarray(y_true), np.asarray(y_score),
                                   hard_fns)
-    if have_pred:
-        return 0.0
+    # no gt instances of this class anywhere: excluded from the average
+    # (official evalInstanceLevelSemanticLabeling sets nan whether or not
+    # the model emitted false positives of the class)
     return None
 
 
@@ -190,7 +191,7 @@ def score_instances(
         per_image = [c[label] for c in collected]
         aps = [_score_class_overlap(per_image, ov) for ov in OVERLAPS]
         per_class_aps[label] = aps
-        per_class_ap50[label] = _score_class_overlap(per_image, 0.5)
+        per_class_ap50[label] = aps[0]  # OVERLAPS[0] is exactly 0.5
 
     def mean(vals):
         vals = [v for v in vals if v is not None and v == v]

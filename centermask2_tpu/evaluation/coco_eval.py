@@ -363,9 +363,12 @@ def evaluate_box_proposals(
 
 def print_csv_format(results: Dict[str, Dict[str, float]]) -> str:
     """detectron2 print_csv_format analog (reference tester.py:130):
-    per task, a 'copypaste:' header + comma-separated metric values."""
+    per task, a 'copypaste:' header + comma-separated metric values.
+    Per-category 'AP-{name}' keys are filtered out like detectron2's
+    (`"-" not in k`), keeping the fixed reference column set."""
     lines = []
     for task, metrics in results.items():
+        metrics = {k: v for k, v in metrics.items() if "-" not in k}
         lines.append(f"copypaste: Task: {task}")
         lines.append("copypaste: " + ",".join(metrics.keys()))
         lines.append("copypaste: " + ",".join(

@@ -233,14 +233,21 @@ class CenterMask(nn.Module):
                  image_sizes: Optional[jnp.ndarray] = None) -> InferenceOutputs:
         return self.inference(images, image_sizes)
 
+    def canvas_hw(self, images: jnp.ndarray) -> Tuple[int, int]:
+        """Original padded-canvas (H, W) for an input batch, undoing the
+        host s2d layout ((H/4+1, W/4+1) grid) when s2d_input is set."""
+        H, W = images.shape[1], images.shape[2]
+        if self.s2d_input:
+            H, W = (H - 1) * 4, (W - 1) * 4
+        return H, W
+
     def inference(self, images: jnp.ndarray,
                   image_sizes: Optional[jnp.ndarray] = None) -> InferenceOutputs:
         """Full inference to the 6-tensor contract. ``image_sizes``: (B, 2)
         true (h, w) per image (defaults to the padded size, matching the
         reference's FakeImageList deployment contract)."""
-        B, H, W, _ = images.shape
-        if self.s2d_input:  # (H/4+1, W/4+1) s2d grid -> original canvas
-            H, W = (H - 1) * 4, (W - 1) * 4
+        B = images.shape[0]
+        H, W = self.canvas_hw(images)
         if image_sizes is None:
             image_sizes = jnp.tile(jnp.array([[H, W]], jnp.float32), (B, 1))
         feats = self.features(images)
@@ -313,9 +320,7 @@ class CenterMask(nn.Module):
 
         B = images.shape[0]
         if image_sizes is None:
-            H, W = images.shape[1], images.shape[2]
-            if self.s2d_input:
-                H, W = (H - 1) * 4, (W - 1) * 4
+            H, W = self.canvas_hw(images)
             image_sizes = jnp.tile(jnp.array([[H, W]], jnp.float32), (B, 1))
         return jax.lax.map(one, (images, image_sizes))
 

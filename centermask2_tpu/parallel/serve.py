@@ -47,7 +47,5 @@ def default_image_sizes(model: CenterMask, images: jnp.ndarray,
     contract), accounting for the host s2d input layout."""
     if image_sizes is not None:
         return jnp.asarray(image_sizes, jnp.float32)
-    B, H, W = images.shape[0], images.shape[1], images.shape[2]
-    if model.s2d_input:
-        H, W = (H - 1) * 4, (W - 1) * 4
-    return jnp.tile(jnp.array([[H, W]], jnp.float32), (B, 1))
+    H, W = model.canvas_hw(images)
+    return jnp.tile(jnp.array([[H, W]], jnp.float32), (images.shape[0], 1))

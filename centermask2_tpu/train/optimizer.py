@@ -45,18 +45,36 @@ def warmup_multistep_schedule(
 
 
 def freeze_prefixes(freeze_at: int) -> tuple:
-    """MODEL.BACKBONE.FREEZE_AT -> backbone module-name prefixes to freeze.
+    """MODEL.BACKBONE.FREEZE_AT -> backbone module-name patterns to freeze,
+    for every backbone family:
 
-    Matches the reference's VoVNet._freeze_backbone (vovnet.py:455-469):
-    stage index 0 is the stem, index i (>0) is OSA stage i+1; FREEZE_AT=2
-    (the shipped default) freezes stem_* and OSA2_*.
+    - VoVNet (reference vovnet.py:455-469): stage 0 is the stem
+      (``stem_*``), stage i (>0) is ``OSA{i+1}_*``;
+    - ResNet (detectron2 ResNet.freeze): stage 1 is the stem
+      (``stem_conv1``), stage i (>1) is ``res{i}_{block}``;
+    - MobileNetV2 (reference mobilenet.py:119-122): freezes
+      ``features[0..freeze_at-1]`` (here ``features0_*`` and the exact
+      module names ``features{i}``).
+
+    A trailing ``$`` marks an exact module-name match (``features1``
+    must not also freeze ``features10``); anything else is a prefix.
     """
     names = []
     if freeze_at >= 1:
-        names.append("stem")
+        names.append("stem")  # vovnet stem_1..3, resnet stem_conv1
+        names.append("features0_")  # mobilenet features[0] conv/bn
     for s in range(2, freeze_at + 1):
         names.append(f"OSA{s}_")
+        names.append(f"res{s}_")
+    for i in range(1, freeze_at):
+        names.append(f"features{i}$")
     return tuple(names)
+
+
+def _match(key: str, pattern: str) -> bool:
+    if pattern.endswith("$"):
+        return key == pattern[:-1]
+    return key.startswith(pattern)
 
 
 def _is_frozen(path: tuple, prefixes: tuple = ()) -> bool:
@@ -64,7 +82,7 @@ def _is_frozen(path: tuple, prefixes: tuple = ()) -> bool:
     if any(k.startswith("frozen_") for k in keys):
         return True
     if prefixes and "backbone" in keys:
-        return any(k.startswith(p) for k in keys for p in prefixes)
+        return any(_match(k, p) for k in keys for p in prefixes)
     return False
 
 

@@ -374,6 +374,21 @@ def test_cityscapes_scoring_perfect_and_missed():
     assert res["AP"] == pytest.approx(75.0)
 
 
+def test_cityscapes_scoring_no_gt_class_excluded():
+    """A class with predictions but zero gt instances is excluded from the
+    average (official cityscapesscripts nan semantics), not scored 0."""
+    from centermask2_tpu.evaluation.cityscapes_scoring import score_instances
+
+    g = _cs_gt_map()
+    fp_train = np.zeros_like(g, dtype=bool)
+    fp_train[24:28, 4:20] = True  # 'train' (31) has no gt anywhere
+    preds = [(_mask(g, 26000), 26, 0.9), (_mask(g, 26001), 26, 0.8),
+             (_mask(g, 24000), 24, 0.95), (fp_train, 31, 0.99)]
+    res = score_instances([g], [preds])
+    assert res["AP"] == pytest.approx(100.0)  # train excluded, not 0
+    assert np.isnan(res["AP-train"])
+
+
 def test_cityscapes_scoring_ignore_regions():
     from centermask2_tpu.evaluation.cityscapes_scoring import score_instances
 

@@ -64,6 +64,40 @@ def test_freeze_at_masks_backbone_stages():
         updates["fcos_head"]["cls_tower"]["conv0"]["kernel"]).max()) > 0.0
 
 
+def test_freeze_at_covers_resnet_and_mobilenet_names():
+    """FREEZE_AT must also freeze ResNet res{s}_{b} stages (detectron2
+    semantics) and MobileNetV2 features[0..freeze_at-1] — without
+    features1 over-matching features10."""
+    params = {
+        "backbone": {
+            "stem_conv1": {"conv": {"kernel": jnp.ones((2,))}},
+            "res2_0": {"conv1": {"conv": {"kernel": jnp.ones((2,))}}},
+            "res3_0": {"conv1": {"conv": {"kernel": jnp.ones((2,))}}},
+            "features0_conv": {"kernel": jnp.ones((2,))},
+            "features1": {"conv1": {"kernel": jnp.ones((2,))}},
+            "features2": {"conv1": {"kernel": jnp.ones((2,))}},
+            "features10": {"conv1": {"kernel": jnp.ones((2,))}},
+        },
+    }
+    opt = make_optimizer(0.1, (100,), warmup_iters=0, warmup_factor=1.0,
+                         freeze_at=2, params_example=params)
+    state = opt.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = opt.update(grads, state, params)
+    bb = updates["backbone"]
+
+    def mx(tree):
+        return float(max(jnp.abs(leaf).max() for leaf in jax.tree.leaves(tree)))
+
+    assert mx(bb["stem_conv1"]) == 0.0
+    assert mx(bb["res2_0"]) == 0.0
+    assert mx(bb["res3_0"]) > 0.0
+    assert mx(bb["features0_conv"]) == 0.0
+    assert mx(bb["features1"]) == 0.0
+    assert mx(bb["features2"]) > 0.0
+    assert mx(bb["features10"]) > 0.0
+
+
 @pytest.mark.slow
 def test_batchnorm_training_updates_running_stats():
     """MODEL.VOVNET.NORM 'BN'/'SyncBN' trains real batch statistics:

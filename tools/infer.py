@@ -69,11 +69,8 @@ def main():
     model = build_centermask(cfg)
     fixed = cfg.TPU.FIXED_EDGE_SIZE
     x0 = np.zeros((1, fixed, fixed, 3), np.float32)
-    if model.s2d_input:  # host layout transform (TPU.S2D_STEM_INPUT)
-        from centermask2_tpu.data.preprocess import stem_space_to_depth
-        to_input = stem_space_to_depth
-    else:
-        to_input = lambda a: a
+    from centermask2_tpu.data.preprocess import input_transform_for
+    to_input = input_transform_for(model)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0),
                                     jnp.asarray(to_input(x0)))
 

@@ -84,10 +84,8 @@ def main():
     fixed = cfg.TPU.FIXED_EDGE_SIZE
     rng = np.random.RandomState(0)
     x_img = rng.randn(args.batch, fixed, fixed, 3).astype(np.float32) * 30
-    if model.s2d_input:
-        from centermask2_tpu.data.preprocess import stem_space_to_depth
-        x_img = stem_space_to_depth(x_img)
-    x = jnp.asarray(x_img)
+    from centermask2_tpu.data.preprocess import input_transform_for
+    x = jnp.asarray(input_transform_for(model)(x_img))
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
     # serve in bf16 like bench.py so the profile reflects the benched graph
     if os.environ.get("CM2_PROFILE_F32_PARAMS") != "1":
