@@ -1,0 +1,110 @@
+"""End-to-end CLI smoke tests (subprocess, CPU, tiny configs).
+
+Locks the tool entry points the verify workflow drives by hand:
+tools/infer.py (preprocess -> model -> postprocess -> COCO eval) and
+tools/train_net.py (DP train loop + checkpointing). Tiny synthetic
+COCO data, V-19-slim backbone, small canvases — each run is
+compile-dominated (~1-2 min on CPU).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def tiny_coco(tmp_path_factory):
+    from PIL import Image, ImageDraw
+
+    root = tmp_path_factory.mktemp("ds")
+    (root / "images").mkdir()
+    images, anns = [], []
+    for i in range(2):
+        w, h = 300, 260
+        im = Image.new("RGB", (w, h), (30 + 60 * i, 90, 140))
+        d = ImageDraw.Draw(im)
+        x0, y0, bw, bh = 40 + 30 * i, 50, 120, 90
+        d.rectangle([x0, y0, x0 + bw, y0 + bh], fill=(220, 60 + 80 * i, 40))
+        im.save(root / "images" / f"{i:012d}.jpg")
+        images.append({"id": i, "file_name": f"{i:012d}.jpg",
+                       "width": w, "height": h})
+        anns.append({
+            "id": i + 1, "image_id": i, "category_id": 1,
+            "bbox": [x0, y0, bw, bh], "area": bw * bh, "iscrowd": 0,
+            "segmentation": [[x0, y0, x0 + bw, y0, x0 + bw, y0 + bh,
+                              x0, y0 + bh]]})
+    with open(root / "ann.json", "w") as f:
+        json.dump({"images": images, "annotations": anns,
+                   "categories": [{"id": 1, "name": "thing"}]}, f)
+    return root
+
+
+def _run(args, n_devices=1):
+    env = dict(os.environ)
+    env["CM2_PLATFORM"] = "cpu"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                        f" --xla_force_host_platform_device_count={n_devices}")
+    return subprocess.run([sys.executable] + args, cwd=REPO, env=env,
+                          capture_output=True, text=True, timeout=900)
+
+
+TINY_OPTS = [
+    "MODEL.VOVNET.CONV_BODY", "V-19-slim-eSE",
+    "TPU.NMS_CANDIDATES", "50", "TPU.COMPUTE_DTYPE", "float32",
+]
+
+
+@pytest.mark.slow
+def test_infer_cli_end_to_end(tiny_coco, tmp_path):
+    out = tmp_path / "out"
+    r = _run([
+        "tools/infer.py",
+        "--config-file", "configs/centermask/zy_model_config.yaml",
+        "--ann", str(tiny_coco / "ann.json"),
+        "--image-root", str(tiny_coco / "images"),
+        "--output-dir", str(out),
+        "TPU.FIXED_EDGE_SIZE", "320",
+        "MODEL.FCOS.PRE_NMS_TOPK_TEST", "50",
+        "INPUT.MIN_SIZE_TEST", "256", "INPUT.MAX_SIZE_TEST", "312",
+    ] + TINY_OPTS)
+    assert r.returncode == 0, r.stderr[-3000:]
+    metrics = json.loads((out / "metrics.json").read_text())
+    assert set(metrics) >= {"bbox", "segm", "box_proposals"}
+    # reference copypaste format: fixed columns, no per-category keys
+    csv_lines = [l for l in r.stdout.splitlines() if l.startswith("copypaste:")]
+    assert "copypaste: AP,AP50,AP75,APs,APm,APl,AR1,AR10,AR100" in csv_lines
+    assert (out / "coco_instances_results.json").exists()
+
+
+@pytest.mark.slow
+def test_train_cli_end_to_end(tiny_coco, tmp_path):
+    out = tmp_path / "train_out"
+    r = _run([
+        "tools/train_net.py",
+        "--ann", str(tiny_coco / "ann.json"),
+        "--image-root", str(tiny_coco / "images"),
+        "--max-iter", "2", "--log-every", "1",
+        "MODEL.MASK_ON", "True", "MODEL.MASKIOU_ON", "True",
+        "TPU.FIXED_EDGE_SIZE", "256",
+        "MODEL.FCOS.PRE_NMS_TOPK_TRAIN", "50",
+        "MODEL.FCOS.POST_NMS_TOPK_TRAIN", "20",
+        "MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE", "32",
+        "TPU.MAX_FG_PROPOSALS", "8", "TPU.MAX_GT_INSTANCES", "8",
+        "SOLVER.IMS_PER_BATCH", "2",
+        "INPUT.MIN_SIZE_TRAIN", "(224,)", "INPUT.MAX_SIZE_TRAIN", "250",
+        "SOLVER.CHECKPOINT_PERIOD", "2",
+        "OUTPUT_DIR", str(out),
+    ] + TINY_OPTS, n_devices=2)
+    assert r.returncode == 0, r.stderr[-3000:]
+    lines = (out / "metrics.jsonl").read_text().strip().splitlines()
+    assert len(lines) >= 2
+    rec = json.loads(lines[-1])
+    assert np.isfinite(rec["total_loss"])
+    assert (out / "checkpoints" / "step_2").exists()
