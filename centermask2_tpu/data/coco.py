@@ -167,21 +167,40 @@ def train_batches(
     patch_size: int = 112,
     seed: int = 0,
     epochs: Optional[int] = None,
+    workers: int = 0,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Infinite (or epochs-bounded) shuffled batch iterator with
-    multi-scale jitter + random horizontal flip (INPUT.MIN_SIZE_TRAIN)."""
+    multi-scale jitter + random horizontal flip (INPUT.MIN_SIZE_TRAIN).
+
+    ``workers > 0`` decodes/resizes the batch's images on a thread pool
+    (DATALOADER.NUM_WORKERS — the reference's multi-worker DataLoader);
+    augmentation draws happen serially first, so batches are
+    bit-identical to workers=0 regardless of thread timing.
+    """
+    pool = None
+    if workers > 0:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=workers)
     rng = np.random.RandomState(seed)
     epoch = 0
     while epochs is None or epoch < epochs:
         order = rng.permutation(ds.ids)
         for start in range(0, len(order) - batch_size + 1, batch_size):
-            examples = []
-            for img_id in order[start:start + batch_size]:
-                examples.append(load_train_example(
-                    ds, int(img_id),
-                    short_edge=int(rng.choice(min_sizes)),
+            jobs = [
+                dict(img_id=int(img_id),
+                     short_edge=int(rng.choice(min_sizes)),
+                     hflip=bool(rng.rand() < 0.5))
+                for img_id in order[start:start + batch_size]
+            ]
+
+            def load(job):
+                return load_train_example(
+                    ds, job["img_id"], short_edge=job["short_edge"],
                     max_size=max_size, pad_to=pad_to, max_gt=max_gt,
-                    patch_size=patch_size, hflip=bool(rng.rand() < 0.5)))
+                    patch_size=patch_size, hflip=job["hflip"])
+
+            examples = list(pool.map(load, jobs) if pool else map(load, jobs))
             batch = {
                 k: np.stack([e[k] for e in examples])
                 for k in ("image", "gt_boxes", "gt_classes", "gt_valid",

@@ -1,0 +1,57 @@
+"""Background batch prefetching for the training input pipeline.
+
+The TPU analog of the reference stack's multi-worker DataLoader overlap
+(detectron2 build_detection_train_loader): a daemon thread keeps a small
+bounded queue of ready host batches so image decode/resize overlaps the
+device step instead of serializing with it. Combine with
+``train_batches(workers=N)`` for intra-batch decode parallelism.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterable, Iterator, TypeVar
+
+T = TypeVar("T")
+
+_DONE = object()
+
+
+def prefetch(it: Iterable[T], depth: int = 2) -> Iterator[T]:
+    """Yield from ``it`` through a ``depth``-deep background queue.
+
+    Exceptions in the producer re-raise at the consuming ``next()``.
+    The producer thread is a daemon, so abandoning the iterator (e.g.
+    breaking out of the training loop) cannot hang interpreter exit.
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    stop = threading.Event()
+
+    def run():
+        try:
+            for item in it:
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+            q.put(_DONE)
+        except BaseException as e:  # propagate to the consumer
+            q.put(e)
+
+    t = threading.Thread(target=run, daemon=True, name="batch-prefetch")
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _DONE:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()

@@ -69,3 +69,32 @@ def test_train_batches(dataset):
     assert batch["image"].shape == (2, 128, 160, 3)
     assert batch["gt_boxes"].shape == (2, 4, 4)
     assert batch["gt_mask_patches"].shape == (2, 4, 16, 16)
+
+
+def test_train_batches_workers_deterministic(dataset):
+    """DATALOADER.NUM_WORKERS thread pool must not change batch content:
+    augmentation draws are serial, only decode is parallel."""
+    kw = dict(min_sizes=(100, 120), pad_to=(128, 160), max_gt=4,
+              patch_size=16, epochs=2, seed=3)
+    serial = list(train_batches(dataset, 2, workers=0, **kw))
+    pooled = list(train_batches(dataset, 2, workers=3, **kw))
+    assert len(serial) == len(pooled) > 0
+    for a, b in zip(serial, pooled):
+        for k in ("image", "gt_boxes", "gt_classes", "gt_valid",
+                  "gt_mask_patches", "image_size"):
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_prefetch_order_and_errors():
+    from centermask2_tpu.data.prefetch import prefetch
+
+    assert list(prefetch(iter(range(50)), depth=3)) == list(range(50))
+
+    def boom():
+        yield 1
+        raise ValueError("producer failed")
+
+    it = prefetch(boom(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(ValueError, match="producer failed"):
+        next(it)

@@ -95,13 +95,15 @@ def main():
 
     ds = CocoDataset(args.ann, args.image_root)
     print(f"{len(ds)} training images, {n_dev} devices, batch {batch_size}")
-    batches = train_batches(
+    from centermask2_tpu.data.prefetch import prefetch
+    batches = prefetch(train_batches(
         ds, batch_size,
         min_sizes=tuple(cfg.INPUT.MIN_SIZE_TRAIN),
         max_size=cfg.INPUT.MAX_SIZE_TRAIN,
         pad_to=(fixed, fixed),
         max_gt=cfg.TPU.MAX_GT_INSTANCES,
-        seed=max(cfg.SEED, 0))
+        seed=max(cfg.SEED, 0),
+        workers=cfg.DATALOADER.NUM_WORKERS), depth=2)
 
     start = int(jax.device_get(state.step))
     storage = EventStorage(os.path.join(out_dir, "metrics.jsonl"),
