@@ -168,6 +168,7 @@ def train_batches(
     seed: int = 0,
     epochs: Optional[int] = None,
     workers: int = 0,
+    random_flip: str = "horizontal",  # INPUT.RANDOM_FLIP: horizontal|none
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Infinite (or epochs-bounded) shuffled batch iterator with
     multi-scale jitter + random horizontal flip (INPUT.MIN_SIZE_TRAIN).
@@ -190,7 +191,8 @@ def train_batches(
             jobs = [
                 dict(img_id=int(img_id),
                      short_edge=int(rng.choice(min_sizes)),
-                     hflip=bool(rng.rand() < 0.5))
+                     hflip=(random_flip == "horizontal"
+                            and bool(rng.rand() < 0.5)))
                 for img_id in order[start:start + batch_size]
             ]
 

@@ -129,10 +129,21 @@ class CenterMask(nn.Module):
     pooler_sampling_ratio: int = 2  # 0 = adaptive (bucketed), d2 default
     mask_norm: str = ""
     cls_agnostic_mask: bool = False
+    mask_conv_dim: int = 256
+    mask_num_conv: int = 4
+    maskiou_conv_dim: int = 256
+    maskiou_num_conv: int = 4
+    num_keypoints: int = 17
+    keypoint_conv_dims: Sequence[int] = (512,) * 8
+    deformable_groups: int = 1
     # training capacities
     batch_size_per_image: int = 512
     positive_fraction: float = 0.25
     max_fg_proposals: int = 128
+    # proposal matching (reference center_heads.py:125-135)
+    roi_iou_thresholds: Sequence[float] = (0.5,)
+    roi_iou_labels: Sequence[int] = (0, 1)
+    proposal_append_gt: bool = True
     # input layout: images are host space-to-depth'd (B, H/4+1, W/4+1, 48)
     # via data/preprocess.py:stem_space_to_depth (vovnet, non-dw only)
     s2d_input: bool = False
@@ -170,6 +181,7 @@ class CenterMask(nn.Module):
                 norm=self.backbone_norm,
                 stage_with_dcn=tuple(self.stage_with_dcn),
                 with_modulated_dcn=self.with_modulated_dcn,
+                deformable_groups=self.deformable_groups,
                 s2d_input=self.s2d_input,
                 dtype=self.dtype)
         if self.backbone_type == "vovnet":
@@ -197,6 +209,12 @@ class CenterMask(nn.Module):
             pooler_resolution=self.pooler_resolution,
             sampling_ratio=self.pooler_sampling_ratio,
             mask_norm=self.mask_norm, cls_agnostic_mask=self.cls_agnostic_mask,
+            mask_conv_dims=self.mask_conv_dim,
+            mask_num_conv=self.mask_num_conv,
+            maskiou_conv_dims=self.maskiou_conv_dim,
+            maskiou_num_conv=self.maskiou_num_conv,
+            num_keypoints=self.num_keypoints,
+            keypoint_conv_dims=tuple(self.keypoint_conv_dims),
             dtype=self.dtype)
 
     # ------------------------------------------------------------------
@@ -379,7 +397,10 @@ class CenterMask(nn.Module):
             return label_and_sample_proposals(
                 r, boxes, valid, gt_boxes, gt_classes, gt_valid,
                 self.num_classes, self.batch_size_per_image,
-                self.positive_fraction)
+                self.positive_fraction,
+                iou_thresholds=tuple(self.roi_iou_thresholds),
+                iou_labels=tuple(self.roi_iou_labels),
+                append_gt=self.proposal_append_gt)
 
         sampled = jax.vmap(sample_one)(
             rngs, proposals.pred_boxes, proposals.valid,
@@ -613,6 +634,16 @@ def build_centermask(cfg: CfgNode) -> CenterMask:
         pooler_sampling_ratio=cfg.TPU.POOLER_SAMPLING_RATIO,
         mask_norm=cfg.MODEL.ROI_MASK_HEAD.NORM,
         cls_agnostic_mask=cfg.MODEL.ROI_MASK_HEAD.CLS_AGNOSTIC_MASK,
+        mask_conv_dim=cfg.MODEL.ROI_MASK_HEAD.CONV_DIM,
+        mask_num_conv=cfg.MODEL.ROI_MASK_HEAD.NUM_CONV,
+        maskiou_conv_dim=cfg.MODEL.ROI_MASKIOU_HEAD.CONV_DIM,
+        maskiou_num_conv=cfg.MODEL.ROI_MASKIOU_HEAD.NUM_CONV,
+        num_keypoints=cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS,
+        keypoint_conv_dims=tuple(cfg.MODEL.ROI_KEYPOINT_HEAD.CONV_DIMS),
+        deformable_groups=cfg.MODEL.VOVNET.DEFORMABLE_GROUPS,
+        roi_iou_thresholds=tuple(cfg.MODEL.ROI_HEADS.IOU_THRESHOLDS),
+        roi_iou_labels=tuple(cfg.MODEL.ROI_HEADS.IOU_LABELS),
+        proposal_append_gt=cfg.MODEL.ROI_HEADS.PROPOSAL_APPEND_GT,
         batch_size_per_image=cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
         positive_fraction=cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION,
         max_fg_proposals=cfg.TPU.MAX_FG_PROPOSALS,

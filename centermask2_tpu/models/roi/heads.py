@@ -47,15 +47,22 @@ def match_proposals(
     gt_boxes: jnp.ndarray,  # (G, 4)
     gt_valid: jnp.ndarray,  # (G,)
     proposal_boxes: jnp.ndarray,  # (P, 4)
-    iou_threshold: float = 0.5,
+    iou_thresholds: Sequence[float] = (0.5,),
+    iou_labels: Sequence[int] = (0, 1),
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """detectron2 Matcher([0.5], [0,1], no low-quality): returns
-    (matched_idx (P,), matched_label (P,) 1=fg 0=bg)."""
+    """detectron2 Matcher(MODEL.ROI_HEADS.IOU_THRESHOLDS, IOU_LABELS,
+    no low-quality matches): returns (matched_idx (P,),
+    matched_label (P,)). Labels follow d2 interval semantics —
+    ``iou_labels[i]`` for matched IoU in [thr[i-1], thr[i]); 1 = fg,
+    0 = bg, -1 = ignore (excluded from sampling downstream)."""
+    assert len(iou_labels) == len(iou_thresholds) + 1
     iou = box_ops.pairwise_iou(gt_boxes, proposal_boxes)  # (G, P)
     iou = jnp.where(gt_valid[:, None], iou, -1.0)
     matched_idx = jnp.argmax(iou, axis=0)
     matched_vals = jnp.max(iou, axis=0)
-    matched_label = (matched_vals >= iou_threshold).astype(jnp.int32)
+    interval = sum((matched_vals >= thr).astype(jnp.int32)
+                   for thr in iou_thresholds)
+    matched_label = jnp.take(jnp.asarray(iou_labels, jnp.int32), interval)
     return matched_idx, matched_label
 
 
@@ -104,7 +111,8 @@ def label_and_sample_proposals(
     num_classes: int,
     batch_size_per_image: int = 512,
     positive_fraction: float = 0.25,
-    iou_threshold: float = 0.5,
+    iou_thresholds: Sequence[float] = (0.5,),
+    iou_labels: Sequence[int] = (0, 1),
     append_gt: bool = True,
 ) -> SampledProposals:
     """Single-image proposal labeling/sampling (center_heads.py:173-260)."""
@@ -114,8 +122,8 @@ def label_and_sample_proposals(
     else:
         boxes, valid = proposal_boxes, proposal_valid
 
-    matched_idx, matched_label = match_proposals(gt_boxes, gt_valid, boxes,
-                                                 iou_threshold)
+    matched_idx, matched_label = match_proposals(
+        gt_boxes, gt_valid, boxes, iou_thresholds, iou_labels)
     any_gt = jnp.any(gt_valid)
     cls = jnp.take(gt_classes, matched_idx)
     cls = jnp.where(matched_label == 1, cls, num_classes)

@@ -103,6 +103,7 @@ def make_optimizer(
     momentum: float = 0.9,
     weight_decay: float = 1e-4,
     weight_decay_norm: float = 0.0,
+    nesterov: bool = False,
     gamma: float = 0.1,
     warmup_factor: float = 1.0 / 1000,
     warmup_iters: int = 1000,
@@ -119,6 +120,10 @@ def make_optimizer(
         return jax.tree_util.tree_map_with_path(
             lambda p, _: not _is_norm_or_bias(tuple(k.key for k in p)), params)
 
+    def norm_mask(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda p, _: _is_norm_or_bias(tuple(k.key for k in p)), params)
+
     def frozen_mask(params):
         return jax.tree_util.tree_map_with_path(
             lambda p, _: _is_frozen(tuple(k.key for k in p), prefixes), params)
@@ -129,7 +134,11 @@ def make_optimizer(
     if weight_decay:
         chain.append(optax.masked(
             optax.add_decayed_weights(weight_decay), decay_mask))
-    chain.append(optax.sgd(learning_rate=schedule, momentum=momentum))
+    if weight_decay_norm:  # SOLVER.WEIGHT_DECAY_NORM (d2 default 0)
+        chain.append(optax.masked(
+            optax.add_decayed_weights(weight_decay_norm), norm_mask))
+    chain.append(optax.sgd(learning_rate=schedule, momentum=momentum,
+                           nesterov=nesterov))
     # zero out updates for frozen params entirely (masked() alone would
     # pass raw gradients through for masked-out leaves)
     chain.append(optax.masked(optax.set_to_zero(), frozen_mask))

@@ -142,6 +142,30 @@ def test_batchnorm_training_updates_running_stats():
     assert np.isfinite(np.asarray(out.scores)).all()
 
 
+def test_match_proposals_d2_interval_semantics():
+    """Matcher(IOU_THRESHOLDS, IOU_LABELS) interval lookup: with
+    thresholds [0.3, 0.7] / labels [0, -1, 1], IoU < 0.3 -> bg (0),
+    0.3 <= IoU < 0.7 -> ignore (-1), IoU >= 0.7 -> fg (1)."""
+    from centermask2_tpu.models.roi.heads import match_proposals
+
+    gt = jnp.asarray([[0.0, 0.0, 10.0, 10.0]])
+    gt_valid = jnp.ones((1,), bool)
+    # IoUs vs gt: 1.0, ~0.5 (overlap 50), ~0.08
+    props = jnp.asarray([
+        [0.0, 0.0, 10.0, 10.0],
+        [0.0, 0.0, 10.0, 5.0],
+        [8.0, 8.0, 18.0, 18.0],
+    ])
+    idx, labels = match_proposals(gt, gt_valid, props,
+                                  iou_thresholds=(0.3, 0.7),
+                                  iou_labels=(0, -1, 1))
+    assert labels.tolist() == [1, -1, 0]
+    assert idx.tolist() == [0, 0, 0]
+    # default single-threshold form unchanged
+    _, labels1 = match_proposals(gt, gt_valid, props)
+    assert labels1.tolist() == [1, 1, 0]
+
+
 @pytest.mark.slow
 def test_remat_backbone_same_gradients():
     """TPU.REMAT_BACKBONE (jax.checkpoint on the backbone) must be

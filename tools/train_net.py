@@ -74,8 +74,11 @@ def main():
     optimizer = make_optimizer(
         cfg.SOLVER.BASE_LR, tuple(cfg.SOLVER.STEPS),
         momentum=cfg.SOLVER.MOMENTUM, weight_decay=cfg.SOLVER.WEIGHT_DECAY,
+        weight_decay_norm=cfg.SOLVER.WEIGHT_DECAY_NORM,
+        nesterov=cfg.SOLVER.NESTEROV,
         gamma=cfg.SOLVER.GAMMA, warmup_factor=cfg.SOLVER.WARMUP_FACTOR,
         warmup_iters=cfg.SOLVER.WARMUP_ITERS,
+        warmup_method=cfg.SOLVER.WARMUP_METHOD,
         clip_value=(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE
                     if cfg.SOLVER.CLIP_GRADIENTS.ENABLED else 0.0),
         freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT)
@@ -93,7 +96,8 @@ def main():
     state = replicate(state, mesh)
     train_step = make_train_step(model, optimizer, mesh=mesh)
 
-    ds = CocoDataset(args.ann, args.image_root)
+    ds = CocoDataset(args.ann, args.image_root,
+                     filter_empty=cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS)
     print(f"{len(ds)} training images, {n_dev} devices, batch {batch_size}")
     from centermask2_tpu.data.prefetch import prefetch
     batches = prefetch(train_batches(
@@ -103,6 +107,7 @@ def main():
         pad_to=(fixed, fixed),
         max_gt=cfg.TPU.MAX_GT_INSTANCES,
         seed=max(cfg.SEED, 0),
+        random_flip=cfg.INPUT.RANDOM_FLIP,
         workers=cfg.DATALOADER.NUM_WORKERS), depth=2)
 
     start = int(jax.device_get(state.step))
