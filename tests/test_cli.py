@@ -90,7 +90,10 @@ def test_train_cli_end_to_end(tiny_coco, tmp_path):
         "tools/train_net.py",
         "--ann", str(tiny_coco / "ann.json"),
         "--image-root", str(tiny_coco / "images"),
+        "--val-ann", str(tiny_coco / "ann.json"),  # TEST.EVAL_PERIOD path
         "--max-iter", "2", "--log-every", "1",
+        "TEST.EVAL_PERIOD", "2",
+        "INPUT.MIN_SIZE_TEST", "224", "INPUT.MAX_SIZE_TEST", "250",
         "MODEL.MASK_ON", "True", "MODEL.MASKIOU_ON", "True",
         "TPU.FIXED_EDGE_SIZE", "256",
         "MODEL.FCOS.PRE_NMS_TOPK_TRAIN", "50",
@@ -105,6 +108,9 @@ def test_train_cli_end_to_end(tiny_coco, tmp_path):
     assert r.returncode == 0, r.stderr[-3000:]
     lines = (out / "metrics.jsonl").read_text().strip().splitlines()
     assert len(lines) >= 2
-    rec = json.loads(lines[-1])
-    assert np.isfinite(rec["total_loss"])
+    recs = [json.loads(l) for l in lines]
+    assert np.isfinite(recs[-1].get("total_loss", recs[-2]["total_loss"]))
     assert (out / "checkpoints" / "step_2").exists()
+    # periodic eval logged AP scalars (TEST.EVAL_PERIOD)
+    assert any("bbox/AP" in r for r in recs), r.stderr[-2000:]
+    assert "eval @2:" in r.stdout

@@ -116,13 +116,24 @@ def main():
                                                method="inference_batched"))
 
     ds = CocoDataset(args.ann, args.image_root, filter_empty=False)
+    ids = ds.ids[: args.limit] if args.limit else ds.ids
+
+    if args.batch_size <= 1:
+        from centermask2_tpu.evaluation.loop import evaluate_dataset
+
+        results, avg_ms, evaluator = evaluate_dataset(
+            model, variables, ann=args.ann, image_root=args.image_root,
+            fixed_size=fixed, min_size=cfg.INPUT.MIN_SIZE_TEST,
+            max_size=cfg.INPUT.MAX_SIZE_TEST,
+            tasks=tuple(args.tasks.split(",")), limit=args.limit, fn=fn)
+        finish(args, results, evaluator, avg_ms)
+        return
+
     with open(args.ann) as f:
         gt = COCOGt(json.load(f))
     evaluator = COCOEvaluator(
         gt, tasks=tuple(args.tasks.split(",")),
         category_id_map=ds.contiguous_to_cat)
-
-    ids = ds.ids[: args.limit] if args.limit else ds.ids
     total_time = 0.0
     n_done = 0
 
@@ -137,52 +148,46 @@ def main():
                                     max_size=pre["max_size"])
         evaluator.process(img_id, post)
 
-    if args.batch_size <= 1:
-        for n, img_id in enumerate(ids):
-            pre = preprocess_for_model(ds.image_path(img_id), fixed,
-                                       cfg.INPUT.MIN_SIZE_TEST,
-                                       cfg.INPUT.MAX_SIZE_TEST)
-            t0 = time.perf_counter()
-            out = fn(variables, jnp.asarray(to_input(pre["input"])))
-            out = jax.tree.map(np.asarray, out)
-            total_time += time.perf_counter() - t0
-            handle_image(img_id, jax.tree.map(lambda x: x[0], out), pre)
+    # shape-bucketed batched inference (BASELINE.json config)
+    from centermask2_tpu.data.bucketing import (batches_from_groups,
+                                                group_by_bucket)
+
+    sizes = [(ds.imgs[i]["height"], ds.imgs[i]["width"]) for i in ids]
+    groups = group_by_bucket(ids, sizes, cfg.TPU.SIZE_BUCKETS,
+                             cfg.INPUT.MIN_SIZE_TEST,
+                             cfg.INPUT.MAX_SIZE_TEST)
+    for bucket, chunk, n_real in batches_from_groups(groups, args.batch_size):
+        pres = [preprocess_for_model(ds.image_path(ids[i]), bucket,
+                                     cfg.INPUT.MIN_SIZE_TEST,
+                                     cfg.INPUT.MAX_SIZE_TEST)
+                for i in chunk]
+        batch = jnp.asarray(to_input(
+            np.concatenate([p["input"] for p in pres])))
+        t0 = time.perf_counter()
+        out = fn(variables, batch)
+        out = jax.tree.map(np.asarray, out)
+        total_time += time.perf_counter() - t0
+        for bi in range(n_real):
+            handle_image(ids[chunk[bi]],
+                         jax.tree.map(lambda x: x[bi], out), pres[bi])
             n_done += 1
-            if (n + 1) % 50 == 0:
-                print(f"[{n + 1}/{len(ids)}] {total_time / (n + 1) * 1000:.1f} ms/img")
-    else:
-        # shape-bucketed batched inference (BASELINE.json config)
-        from centermask2_tpu.data.bucketing import (batches_from_groups,
-                                                    group_by_bucket)
-
-        sizes = [(ds.imgs[i]["height"], ds.imgs[i]["width"]) for i in ids]
-        groups = group_by_bucket(ids, sizes, cfg.TPU.SIZE_BUCKETS,
-                                 cfg.INPUT.MIN_SIZE_TEST,
-                                 cfg.INPUT.MAX_SIZE_TEST)
-        for bucket, chunk, n_real in batches_from_groups(groups, args.batch_size):
-            pres = [preprocess_for_model(ds.image_path(ids[i]), bucket,
-                                         cfg.INPUT.MIN_SIZE_TEST,
-                                         cfg.INPUT.MAX_SIZE_TEST)
-                    for i in chunk]
-            batch = jnp.asarray(to_input(
-                np.concatenate([p["input"] for p in pres])))
-            t0 = time.perf_counter()
-            out = fn(variables, batch)
-            out = jax.tree.map(np.asarray, out)
-            total_time += time.perf_counter() - t0
-            for bi in range(n_real):
-                handle_image(ids[chunk[bi]],
-                             jax.tree.map(lambda x: x[bi], out), pres[bi])
-                n_done += 1
-            if n_done % 50 < args.batch_size:
-                print(f"[{n_done}] {total_time / max(n_done, 1) * 1000:.1f} ms/img")
-
-    os.makedirs(args.output_dir, exist_ok=True)
-    with open(os.path.join(args.output_dir, "coco_instances_results.json"), "w") as f:
-        json.dump(evaluator.predictions, f)
+        if n_done % 50 < args.batch_size:
+            print(f"[{n_done}] {total_time / max(n_done, 1) * 1000:.1f} ms/img")
 
     results = evaluator.evaluate()
+    results["box_proposals"] = evaluator.evaluate_proposals()
+    finish(args, results, evaluator,
+           total_time / max(len(ids), 1) * 1000.0)
+
+
+def finish(args, results, evaluator, avg_ms):
+    """Persist predictions + metrics and print the summary tables."""
     from centermask2_tpu.evaluation.coco_eval import print_csv_format
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(os.path.join(args.output_dir,
+                           "coco_instances_results.json"), "w") as f:
+        json.dump(evaluator.predictions, f)
 
     for task, metrics in results.items():
         summary = {k: v for k, v in metrics.items() if not k.startswith("AP-")}
@@ -194,15 +199,10 @@ def main():
         for i in range(0, len(items), 3):
             print("  " + " | ".join(
                 f"{n:>18s}: {v:6.2f}" for n, v in items[i:i + 3]))
-    # class-agnostic proposal recall (reference box_proposals task)
-    results["box_proposals"] = evaluator.evaluate_proposals()
-    print("== box_proposals ==")
-    print(", ".join(f"{k}={v:.2f}"
-                    for k, v in results["box_proposals"].items()))
     print_csv_format(results)
     with open(os.path.join(args.output_dir, "metrics.json"), "w") as f:
         json.dump(results, f, indent=2)
-    print(f"avg inference: {total_time / max(len(ids), 1) * 1000:.1f} ms/img")
+    print(f"avg inference: {avg_ms:.1f} ms/img")
 
 
 if __name__ == "__main__":

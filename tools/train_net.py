@@ -29,6 +29,11 @@ def main():
     p.add_argument("--config-file", default=None)
     p.add_argument("--ann", required=True)
     p.add_argument("--image-root", required=True)
+    p.add_argument("--val-ann", default=None,
+                   help="COCO val annotations for periodic evaluation "
+                        "(TEST.EVAL_PERIOD iters; detectron2 EvalHook analog)")
+    p.add_argument("--val-image-root", default=None)
+    p.add_argument("--val-limit", type=int, default=0)
     p.add_argument("--max-iter", type=int, default=0)
     p.add_argument("--resume", default=None)
     p.add_argument("--log-every", type=int, default=20)
@@ -138,11 +143,32 @@ def main():
             print(f"iter {it + 1}/{max_iter} "
                   + " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items()))
                   + f" ({dt:.2f} s/it)")
-        storage.step()
         if (it + 1) % cfg.SOLVER.CHECKPOINT_PERIOD == 0 or (it + 1) == max_iter:
             path = save_checkpoint(os.path.join(out_dir, "checkpoints"),
                                    jax.device_get(state), it + 1)
             print(f"saved {path}")
+        eval_period = cfg.TEST.EVAL_PERIOD
+        if (args.val_ann and eval_period > 0
+                and ((it + 1) % eval_period == 0 or (it + 1) == max_iter)):
+            from centermask2_tpu.evaluation.loop import evaluate_dataset
+
+            eval_vars = dict(jax.device_get(state.params))
+            if state.model_state:  # BN running stats for eval forward
+                eval_vars.update(jax.device_get(state.model_state))
+            results, _, _ = evaluate_dataset(
+                model, eval_vars,
+                ann=args.val_ann,
+                image_root=args.val_image_root or args.image_root,
+                fixed_size=fixed, min_size=cfg.INPUT.MIN_SIZE_TEST,
+                max_size=cfg.INPUT.MAX_SIZE_TEST, limit=args.val_limit,
+                progress_every=0)
+            flat = {f"{task}/{k}": v for task, m in results.items()
+                    for k, v in m.items() if not k.startswith("AP-")}
+            storage.put_scalars(**flat)
+            print(f"eval @{it + 1}: " + " ".join(
+                f"{k}={v:.2f}" for k, v in flat.items()
+                if k in ("bbox/AP", "segm/AP", "bbox/AP50", "segm/AP50")))
+        storage.step()
 
 
 if __name__ == "__main__":
