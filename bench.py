@@ -72,9 +72,9 @@ def main():
     jax.block_until_ready(fn(params, x, 1))  # compile + warm up
 
     best = float("inf")
-    # best-of-5: the axon tunnel time-shares, so individual repeats see
-    # up to ~0.5 ms of interference; min is the honest device number
-    for _ in range(5):
+    # best-of-8: the axon tunnel time-shares, so individual repeats see
+    # up to ~1 ms of interference; min is the honest device number
+    for _ in range(8):
         t0 = time.perf_counter()
         jax.block_until_ready(fn(params, x, 1))
         t_one = time.perf_counter() - t0
