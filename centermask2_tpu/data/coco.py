@@ -178,11 +178,25 @@ def train_batches(
     augmentation draws happen serially first, so batches are
     bit-identical to workers=0 regardless of thread timing.
     """
+    assert random_flip in ("horizontal", "none"), random_flip
     pool = None
     if workers > 0:
         from concurrent.futures import ThreadPoolExecutor
 
         pool = ThreadPoolExecutor(max_workers=workers)
+    try:
+        yield from _train_batches_inner(
+            ds, batch_size, min_sizes=min_sizes, max_size=max_size,
+            pad_to=pad_to, max_gt=max_gt, patch_size=patch_size, seed=seed,
+            epochs=epochs, random_flip=random_flip, pool=pool)
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False)
+
+
+def _train_batches_inner(ds, batch_size, *, min_sizes, max_size, pad_to,
+                         max_gt, patch_size, seed, epochs, random_flip,
+                         pool):
     rng = np.random.RandomState(seed)
     epoch = 0
     while epochs is None or epoch < epochs:

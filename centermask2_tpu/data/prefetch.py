@@ -28,20 +28,23 @@ def prefetch(it: Iterable[T], depth: int = 2) -> Iterator[T]:
     q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
     stop = threading.Event()
 
+    def put_or_stop(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def run():
         try:
             for item in it:
-                while not stop.is_set():
-                    try:
-                        q.put(item, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
-                if stop.is_set():
+                if not put_or_stop(item):
                     return
-            q.put(_DONE)
+            put_or_stop(_DONE)
         except BaseException as e:  # propagate to the consumer
-            q.put(e)
+            put_or_stop(e)
 
     t = threading.Thread(target=run, daemon=True, name="batch-prefetch")
     t.start()

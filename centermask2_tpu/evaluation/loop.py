@@ -28,13 +28,18 @@ def evaluate_dataset(
     tasks: Tuple[str, ...] = ("bbox", "segm"),
     limit: int = 0,
     fn: Optional[Callable] = None,
+    ds=None,
+    gt=None,
     progress_every: int = 50,
 ):
     """Evaluate ``model`` over a COCO-format dataset one image at a time.
 
     ``fn(variables, images)`` overrides the jitted forward (defaults to
-    ``jax.jit(model.apply)``). Returns (results, avg_ms_per_image,
-    evaluator) — the evaluator exposes the raw COCO-json ``predictions``.
+    ``jax.jit(model.apply)``) — pass a hoisted jitted fn when calling
+    periodically, or the fresh lambda here defeats jit's in-memory trace
+    cache. ``ds`` (CocoDataset) / ``gt`` (COCOGt) skip re-parsing the
+    annotation json. Returns (results, avg_ms_per_image, evaluator) —
+    the evaluator exposes the raw COCO-json ``predictions``.
     """
     import jax
     import jax.numpy as jnp
@@ -48,11 +53,16 @@ def evaluate_dataset(
 
     if fn is None:
         fn = jax.jit(lambda v, im: model.apply(v, im))
+    # host-numpy weights would re-upload per jit call (once per image) —
+    # place them on device once
+    variables = jax.device_put(variables)
     to_input = input_transform_for(model)
 
-    ds = CocoDataset(ann, image_root, filter_empty=False)
-    with open(ann) as f:
-        gt = COCOGt(json.load(f))
+    if ds is None:
+        ds = CocoDataset(ann, image_root, filter_empty=False)
+    if gt is None:
+        with open(ann) as f:
+            gt = COCOGt(json.load(f))
     evaluator = COCOEvaluator(gt, tasks=tasks,
                               category_id_map=ds.contiguous_to_cat)
 

@@ -86,14 +86,25 @@ def _is_frozen(path: tuple, prefixes: tuple = ()) -> bool:
     return False
 
 
-def _is_norm_or_bias(path: tuple) -> bool:
+def _is_norm_module(path: tuple) -> bool:
+    """Param belongs to a norm layer (FrozenBN / BN / GN), bias included —
+    d2's get_default_optimizer_params assigns WEIGHT_DECAY_NORM to every
+    param of a norm module."""
     keys = [str(k) for k in path]
-    leaf = keys[-1]
-    if leaf == "bias":
-        return False  # d2 default applies full wd to biases
-    if _is_frozen(path):
+    if any(k.startswith("frozen_") for k in keys):
         return True
-    return "gn" in keys or leaf in ("scale",)
+    return any(k in ("gn", "norm") or k.endswith("_norm") for k in keys)
+
+
+def _is_norm_or_bias(path: tuple) -> bool:
+    """Decay-exempt set for the base SOLVER.WEIGHT_DECAY: norm-module
+    params (incl. their biases; they get WEIGHT_DECAY_NORM instead) and
+    the FCOS per-level Scale. Conv/linear biases keep full wd (d2
+    WEIGHT_DECAY_BIAS default == WEIGHT_DECAY)."""
+    if _is_norm_module(path):
+        return True
+    keys = [str(k) for k in path]
+    return keys[-1] == "scale"
 
 
 def make_optimizer(
@@ -122,7 +133,7 @@ def make_optimizer(
 
     def norm_mask(params):
         return jax.tree_util.tree_map_with_path(
-            lambda p, _: _is_norm_or_bias(tuple(k.key for k in p)), params)
+            lambda p, _: _is_norm_module(tuple(k.key for k in p)), params)
 
     def frozen_mask(params):
         return jax.tree_util.tree_map_with_path(

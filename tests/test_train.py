@@ -34,9 +34,33 @@ def test_optimizer_freezes_frozen_params_and_updates_rest():
     # conv kernel: lr * (grad + wd * w) = 0.1 * (1 + 1e-4)
     np.testing.assert_allclose(np.asarray(updates["conv"]["kernel"]),
                                -0.1 * (1 + 1e-4), rtol=1e-5)
-    # gn scale: no weight decay -> exactly -lr * grad
+    # gn scale AND bias: no base weight decay -> exactly -lr * grad
+    # (d2 assigns WEIGHT_DECAY_NORM, default 0, to all norm-module params)
     np.testing.assert_allclose(np.asarray(updates["gn"]["gn"]["scale"]),
                                -0.1, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(updates["gn"]["gn"]["bias"]),
+                               -0.1, rtol=1e-6)
+
+
+def test_weight_decay_norm_applies_to_norm_modules():
+    """SOLVER.WEIGHT_DECAY_NORM decays norm params (bias included) at its
+    own rate while conv kernels keep the base rate."""
+    params = {
+        "conv": {"kernel": jnp.ones((2, 2))},
+        "gn": {"gn": {"scale": jnp.ones((2,)), "bias": jnp.ones((2,))}},
+    }
+    opt = make_optimizer(0.1, (100,), warmup_iters=0, warmup_factor=1.0,
+                         weight_decay=1e-4, weight_decay_norm=1e-2,
+                         params_example=params)
+    state = opt.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = opt.update(grads, state, params)
+    np.testing.assert_allclose(np.asarray(updates["conv"]["kernel"]),
+                               -0.1 * (1 + 1e-4), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(updates["gn"]["gn"]["scale"]),
+                               -0.1 * (1 + 1e-2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(updates["gn"]["gn"]["bias"]),
+                               -0.1 * (1 + 1e-2), rtol=1e-5)
 
 
 def test_freeze_at_masks_backbone_stages():

@@ -117,6 +117,8 @@ def main():
 
     ds = CocoDataset(args.ann, args.image_root, filter_empty=False)
     ids = ds.ids[: args.limit] if args.limit else ds.ids
+    with open(args.ann) as f:
+        gt = COCOGt(json.load(f))
 
     if args.batch_size <= 1:
         from centermask2_tpu.evaluation.loop import evaluate_dataset
@@ -125,12 +127,11 @@ def main():
             model, variables, ann=args.ann, image_root=args.image_root,
             fixed_size=fixed, min_size=cfg.INPUT.MIN_SIZE_TEST,
             max_size=cfg.INPUT.MAX_SIZE_TEST,
-            tasks=tuple(args.tasks.split(",")), limit=args.limit, fn=fn)
+            tasks=tuple(args.tasks.split(",")), limit=args.limit, fn=fn,
+            ds=ds, gt=gt)
         finish(args, results, evaluator, avg_ms)
         return
 
-    with open(args.ann) as f:
-        gt = COCOGt(json.load(f))
     evaluator = COCOEvaluator(
         gt, tasks=tuple(args.tasks.split(",")),
         category_id_map=ds.contiguous_to_cat)

@@ -115,6 +115,23 @@ def main():
         random_flip=cfg.INPUT.RANDOM_FLIP,
         workers=cfg.DATALOADER.NUM_WORKERS), depth=2)
 
+    # periodic evaluation resources, hoisted: one jitted forward, one
+    # annotation parse for the whole run (TEST.EVAL_PERIOD)
+    eval_period = cfg.TEST.EVAL_PERIOD if args.val_ann else 0
+    if eval_period > 0:
+        from centermask2_tpu.data.coco import CocoDataset as _CocoDataset
+        from centermask2_tpu.evaluation import COCOGt
+        from centermask2_tpu.evaluation.loop import evaluate_dataset
+
+        eval_fn = jax.jit(lambda v, im: model.apply(v, im))
+        eval_ds = _CocoDataset(args.val_ann,
+                               args.val_image_root or args.image_root,
+                               filter_empty=False)
+        import json as _json
+        with open(args.val_ann) as f:
+            eval_gt = COCOGt(_json.load(f))
+        eval_tasks = ("bbox", "segm") if cfg.MODEL.MASK_ON else ("bbox",)
+
     start = int(jax.device_get(state.step))
     storage = EventStorage(os.path.join(out_dir, "metrics.jsonl"),
                            start_iter=start)
@@ -147,20 +164,18 @@ def main():
             path = save_checkpoint(os.path.join(out_dir, "checkpoints"),
                                    jax.device_get(state), it + 1)
             print(f"saved {path}")
-        eval_period = cfg.TEST.EVAL_PERIOD
-        if (args.val_ann and eval_period > 0
+        if (eval_period > 0
                 and ((it + 1) % eval_period == 0 or (it + 1) == max_iter)):
-            from centermask2_tpu.evaluation.loop import evaluate_dataset
-
-            eval_vars = dict(jax.device_get(state.params))
+            eval_vars = dict(state.params)  # device-resident, replicated
             if state.model_state:  # BN running stats for eval forward
-                eval_vars.update(jax.device_get(state.model_state))
+                eval_vars.update(state.model_state)
             results, _, _ = evaluate_dataset(
                 model, eval_vars,
                 ann=args.val_ann,
                 image_root=args.val_image_root or args.image_root,
                 fixed_size=fixed, min_size=cfg.INPUT.MIN_SIZE_TEST,
                 max_size=cfg.INPUT.MAX_SIZE_TEST, limit=args.val_limit,
+                fn=eval_fn, ds=eval_ds, gt=eval_gt, tasks=eval_tasks,
                 progress_every=0)
             flat = {f"{task}/{k}": v for task, m in results.items()
                     for k, v in m.items() if not k.startswith("AP-")}
