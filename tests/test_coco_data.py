@@ -98,3 +98,26 @@ def test_prefetch_order_and_errors():
     assert next(it) == 1
     with pytest.raises(ValueError, match="producer failed"):
         next(it)
+
+
+def test_prefetch_abandoned_consumer_stops_producer():
+    """Closing the consumer mid-stream must release the producer thread
+    (stop-aware puts), not leave it blocked on a full queue."""
+    import threading
+    import time
+
+    from centermask2_tpu.data.prefetch import prefetch
+
+    before = {t.ident for t in threading.enumerate()}
+    it = prefetch(iter(range(1000)), depth=1)
+    assert next(it) == 0
+    it.close()  # GeneratorExit -> finally -> stop.set()
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        alive = [t for t in threading.enumerate()
+                 if t.ident not in before and t.name == "batch-prefetch"
+                 and t.is_alive()]
+        if not alive:
+            break
+        time.sleep(0.05)
+    assert not alive, "prefetch producer thread still alive after close()"

@@ -255,6 +255,38 @@ def test_dp_inference_matches_single_device():
 
 
 @pytest.mark.slow
+def test_dp_inference_s2d_layout():
+    """DP serving with the host space-to-depth input layout: canvas_hw
+    must undo the s2d grid on every shard identically."""
+    from centermask2_tpu.data.preprocess import stem_space_to_depth
+    from centermask2_tpu.models import CenterMask
+    from centermask2_tpu.parallel import (
+        default_image_sizes, make_dp_inference, make_mesh, replicate,
+        shard_batch)
+
+    model = CenterMask(
+        conv_body="V-19-slim-eSE", mask_on=False, maskiou_on=False,
+        pre_nms_topk_test=20, post_nms_topk_test=10, nms_candidates=20,
+        s2d_input=True, dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(stem_space_to_depth(
+        rng.randn(2, 64, 64, 3).astype(np.float32) * 20))
+    params = model.init(jax.random.PRNGKey(0), images[:1])
+    sizes = default_image_sizes(model, images)
+    np.testing.assert_array_equal(np.asarray(sizes),
+                                  [[64, 64], [64, 64]])  # un-s2d'd canvas
+
+    ref = model.apply(params, images, sizes,
+                      method=CenterMask.inference_batched)
+    mesh = make_mesh(jax.devices()[:2])
+    infer = make_dp_inference(model, mesh)
+    out = infer(replicate(params, mesh), *shard_batch((images, sizes), mesh))
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(out)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
 def test_dryrun_multichip_2dev():
     """The driver contract: full DP train step on a virtual mesh."""
     import sys, os
