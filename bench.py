@@ -1,13 +1,24 @@
 """End-to-end inference benchmark on the flagship config.
 
-Measures single-image latency of the full CenterMask2 V-39-eSE pipeline
-(backbone -> FPN -> FCOS decode+NMS -> SAG-Mask -> MaskIoU) at the
-reference's fixed 1344x1344 deployment shape (deploy_utils.py:19-21).
+Measures the full CenterMask2 V-39-eSE pipeline (backbone -> FPN ->
+FCOS decode+NMS -> SAG-Mask -> MaskIoU) at the reference's fixed
+1344x1344 deployment shape (deploy_utils.py:19-21), and reports:
 
-Prints ONE JSON line:
-{"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
-vs_baseline is speedup over the reference's 0.050 s/image
-(README.md:171-173; BASELINE.md).
+- value / unit / vs_baseline: single-image DEVICE latency (ms) vs the
+  reference's 0.050 s/image (README.md:171-173; BASELINE.md),
+- host_preprocess_ms: the fused normalize+pad+space-to-depth host
+  transform feeding the s2d stem (native kernel, data/native/s2d.cpp),
+- sustained_images_per_sec: wall-clock rate of the PIPELINED serving
+  loop — host transform + host->device transfer + device compute with
+  async dispatch (image i+1 dispatched before blocking on i), i.e. the
+  number that counts ALL per-image work on one chip + one host core,
+- achieved_tflops / mfu: HLO flops (XLA cost analysis) / device time /
+  chip peak,
+- batched_images_per_sec: same pipelined loop at the requested depth
+  (the fastest single-chip batched mode — XLA's B>1 conv layouts
+  regress, see CenterMask.inference_batched).
+
+Prints ONE JSON line.
 """
 
 import json
@@ -27,8 +38,9 @@ def main():
     apply_platform_override()
     import jax.numpy as jnp
 
-    from centermask2_tpu.data.preprocess import stem_space_to_depth
+    from centermask2_tpu.data.preprocess import s2d_preprocess
     from centermask2_tpu.models import CenterMask
+    from centermask2_tpu.utils.measures import chip_peak_flops
 
     edge = int(os.environ.get("BENCH_EDGE", "1344"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
@@ -42,8 +54,11 @@ def main():
         s2d_input=True,  # host s2d is part of preprocessing (TPU.S2D_STEM_INPUT)
     )
     rng = np.random.RandomState(0)
-    x_img = rng.randn(1, edge, edge, 3).astype(np.float32) * 30.0
-    x = jnp.asarray(stem_space_to_depth(x_img))
+    # realistic serving input: a resized uint8 image (800 x <=1333 short
+    # edge), normalize+pad+s2d fused on host (the serving path)
+    img_u8 = (rng.rand(min(800, edge), min(1333, edge), 3) * 255).astype(
+        np.uint8)
+    x = jnp.asarray(s2d_preprocess(img_u8, edge))
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
     # serve in bf16: casting 37M fp32 params to bf16 once here instead of
     # inside every forward saves ~220MB of HBM traffic per inference
@@ -51,12 +66,11 @@ def main():
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
         params)
 
-    # Timing: n model evaluations inside ONE jitted fori_loop, each on a
-    # distinct input (per-iteration scale) with outputs accumulated into
-    # the result. This defeats loop-invariant hoisting / algebraic folding
-    # (an epsilon-perturbation chain gets elided by XLA) and keeps
-    # compilation out of the timed region (n stays traced: one compile
-    # serves every n).
+    # --- device latency: n model evaluations inside ONE jitted fori_loop,
+    # each on a distinct input (per-iteration scale) with outputs
+    # accumulated into the result. This defeats loop-invariant hoisting /
+    # algebraic folding and keeps compilation + dispatch out of the timed
+    # region (n stays traced: one compile serves every n).
     max_n = max(iters, 64)
     weights = jnp.linspace(1.0, 1.01, max_n)
 
@@ -88,51 +102,105 @@ def main():
     ms = dt * 1000.0
     baseline_s = 0.050  # reference V100 inference time (README.md:171-173)
 
-    # batched throughput: per-image cost with batch=B amortizes the small
-    # per-program ops (decode/NMS/ROI) across images. Best-effort: a
-    # failure here must never lose the primary metric.
-    B = int(os.environ.get("BENCH_BATCH", "4"))
-    batched_ms = ms
-    try:
-        if B > 1:
-            xb = jnp.tile(x, (B, 1, 1, 1))
-
-            def chained_b(p, im, n):
-                def body(i, acc):
-                    # lax.map over the single-image program: XLA's B>1
-                    # conv layouts regress (see CenterMask.inference_batched)
-                    out = model.apply(p, im * weights[i],
-                                      method="inference_batched")
-                    return acc + out.scores
-
-                k = model.post_nms_topk_test
-                return jax.lax.fori_loop(0, n, body,
-                                         jnp.zeros((B, k), jnp.float32))
-
-            fnb = jax.jit(chained_b)
-            jax.block_until_ready(fnb(params, xb, 1))
-            bt = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                jax.block_until_ready(fnb(params, xb, 1))
-                t_one = time.perf_counter() - t0
-                t0 = time.perf_counter()
-                jax.block_until_ready(fnb(params, xb, 10))
-                t_many = time.perf_counter() - t0
-                bt = min(bt, (t_many - t_one) / 9)
-            batched_ms = bt / B * 1000.0
-    except Exception as e:  # pragma: no cover
-        print(f"[warn] batched bench failed: {e!r}", file=sys.stderr)
-
-    print(json.dumps({
+    result = {
         "metric": "centermask2_v39_inference_latency_1344",
         "value": round(ms, 3),
         "unit": "ms/image",
         "vs_baseline": round(baseline_s / dt, 3),
-        "batched_ms_per_image": round(batched_ms, 3),
-        "batched_images_per_sec": round(1000.0 / batched_ms, 2),
-        "batch": B,
-    }))
+    }
+
+    # --- MFU: exact HLO flops of the single-image program / device time
+    try:
+        single = jax.jit(lambda p, im: model.apply(p, im))
+        cost = single.lower(params, x).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) if cost else 0.0
+        peak = chip_peak_flops()
+        if flops > 0:
+            result["model_tflops"] = round(flops / 1e12, 3)
+            result["achieved_tflops"] = round(flops / dt / 1e12, 1)
+            if peak > 0:
+                result["mfu"] = round(flops / dt / peak, 3)
+                result["chip_peak_tflops"] = round(peak / 1e12, 0)
+    except Exception as e:  # pragma: no cover
+        print(f"[warn] cost analysis failed: {e!r}", file=sys.stderr)
+
+    # --- host preprocessing: the fused normalize+pad+s2d native kernel
+    hp = float("inf")
+    for _ in range(30):
+        t0 = time.perf_counter()
+        s2d_preprocess(img_u8, edge)
+        hp = min(hp, time.perf_counter() - t0)
+    result["host_preprocess_ms"] = round(hp * 1000.0, 3)
+
+    # --- sustained pipelined serving: host transform + transfer + device
+    # with async dispatch; wall clock over N images counts EVERYTHING.
+    # Serving feeds the device the RAW uint8 s2d pack (5.5 MB/image vs
+    # 21.8 MB f32; on-device normalization, bit-identical outputs) —
+    # host->device bandwidth is the binding constraint on this link.
+    # A failure here must never lose the primary metric.
+    depth = int(os.environ.get("BENCH_BATCH", "4"))
+    try:
+        from collections import deque
+
+        from centermask2_tpu.data.preprocess import s2d_pack_u8
+
+        single = jax.jit(lambda p, im, hw: model.apply(p, im, None, hw))
+        hw = jnp.asarray([[img_u8.shape[0], img_u8.shape[1]]], jnp.int32)
+        xu = jnp.asarray(s2d_pack_u8(img_u8, edge))
+        jax.block_until_ready(single(params, xu, hw))
+        # a few distinct host images so the transform reads fresh memory
+        imgs = [np.ascontiguousarray((img_u8.astype(np.int16) + k) % 256,
+                                     dtype=np.uint8) for k in range(4)]
+
+        def pipelined(n_imgs, d):
+            pending = deque()
+            t0 = time.perf_counter()
+            for i in range(n_imgs):
+                xin = jnp.asarray(s2d_pack_u8(imgs[i % 4], edge))
+                pending.append(single(params, xin, hw))
+                if len(pending) > d:
+                    jax.block_until_ready(pending.popleft())
+            while pending:
+                jax.block_until_ready(pending.popleft())
+            return (time.perf_counter() - t0) / n_imgs
+
+        pipelined(4, 2)  # warm
+        sus = min(pipelined(24, 2) for _ in range(3))
+        result["sustained_images_per_sec"] = round(1.0 / sus, 1)
+        result["sustained_ms_per_image"] = round(sus * 1000.0, 3)
+        bat = min(pipelined(24, depth) for _ in range(2))
+        result["batched_images_per_sec"] = round(1.0 / bat, 1)
+        result["batch"] = depth
+
+        # host->device link characterization: when the sustained number
+        # is far below 1000/max(host_ms, device_ms), the gap is the
+        # link, not the pipeline. Measure it: synchronized fresh-buffer
+        # transfer+consume of the exact serving payload.
+        consume = jax.jit(lambda a: a.ravel()[::4096].astype(jnp.int32).sum())
+        xu_np = np.asarray(s2d_pack_u8(imgs[0], edge))
+        int(consume(jnp.asarray(xu_np)))
+        tms = []
+        for i in range(6):
+            buf = np.ascontiguousarray((xu_np + i) % 251)
+            t0 = time.perf_counter()
+            int(consume(jnp.asarray(buf)))
+            tms.append(time.perf_counter() - t0)
+        t_link = sorted(tms)[len(tms) // 2]
+        mb = xu_np.nbytes / 1e6
+        result["transfer_mb_per_image"] = round(mb, 2)
+        result["link_mb_per_sec"] = round(mb / t_link, 0)
+        # projected sustained rate with a host-attached (PCIe-class)
+        # link, where the 5.5 MB transfer is <1 ms: the pipeline is then
+        # bound by max(host transform, device latency)
+        bound = max(hp, dt)
+        result["projected_host_attached_images_per_sec"] = round(
+            1.0 / bound, 1)
+    except Exception as e:  # pragma: no cover
+        print(f"[warn] pipelined bench failed: {e!r}", file=sys.stderr)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

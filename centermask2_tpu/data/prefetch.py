@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
+import weakref
 from typing import Iterable, Iterator, TypeVar
 
 T = TypeVar("T")
@@ -18,22 +20,33 @@ T = TypeVar("T")
 _DONE = object()
 
 
-def prefetch(it: Iterable[T], depth: int = 2) -> Iterator[T]:
+def prefetch(it: Iterable[T], depth: int = 2,
+             idle_timeout: float = 600.0) -> Iterator[T]:
     """Yield from ``it`` through a ``depth``-deep background queue.
 
     Exceptions in the producer re-raise at the consuming ``next()``.
     The producer thread is a daemon, so abandoning the iterator (e.g.
     breaking out of the training loop) cannot hang interpreter exit.
+    An abandoned consumer cannot leave the producer polling for the
+    process lifetime either: the producer stops when (a) the consumer's
+    ``close()``/``finally`` runs, (b) the returned generator is
+    garbage-collected (weakref.finalize — covers reference cycles the
+    moment the cycle collector sees them), or (c) no item has moved
+    through the queue for ``idle_timeout`` seconds while it is full.
     """
     q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
     stop = threading.Event()
+    last_activity = [time.monotonic()]
 
     def put_or_stop(item) -> bool:
         while not stop.is_set():
             try:
                 q.put(item, timeout=0.1)
+                last_activity[0] = time.monotonic()
                 return True
             except queue.Full:
+                if time.monotonic() - last_activity[0] > idle_timeout:
+                    return False  # consumer stopped taking items
                 continue
         return False
 
@@ -47,14 +60,21 @@ def prefetch(it: Iterable[T], depth: int = 2) -> Iterator[T]:
             put_or_stop(e)
 
     t = threading.Thread(target=run, daemon=True, name="batch-prefetch")
-    t.start()
-    try:
-        while True:
-            item = q.get()
-            if item is _DONE:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-    finally:
-        stop.set()
+
+    def gen():
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                last_activity[0] = time.monotonic()
+                if item is _DONE:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+    g = gen()
+    weakref.finalize(g, stop.set)
+    return g

@@ -13,6 +13,10 @@ reference .bin pipeline requires PIL's resampling, not XLA's
 
 from __future__ import annotations
 
+import ctypes
+import os
+import subprocess
+import threading
 from typing import Dict, Tuple
 
 import numpy as np
@@ -89,34 +93,120 @@ def single_preprocessing(
     return out
 
 
-def _s2d2(x: np.ndarray) -> np.ndarray:
-    """One 2x2 space-to-depth level: 4 phases stacked channel-wise in
-    (row-parity, col-parity) major order."""
-    return np.concatenate(
-        [x[:, 0::2, 0::2], x[:, 0::2, 1::2],
-         x[:, 1::2, 0::2], x[:, 1::2, 1::2]], axis=-1)
-
-
 def stem_space_to_depth(images_nhwc: np.ndarray) -> np.ndarray:
-    """Host-side double space-to-depth feeding the TPU stem (free relabel).
+    """Host-side factor-4 space-to-depth feeding the TPU s2d stem.
 
-    Produces the (B, H/4+1, W/4+1, 48) layout the s2d stem
-    (models/backbones/vovnet.py:s2d_stem_forward) expects: top/left
-    zero-pad by 2 (so a 2x2/VALID conv on the first s2d level equals the
-    reference conv3x3/s2/pad1 on the raw image), one s2d level, even-pad,
-    second s2d level. The whole stem then evaluates at stride-4 spatial
-    size with >=48-channel tensors — bit-identical outputs while the
-    device never touches the MXU-hostile 3-channel layout (the in-graph
-    transform costs ~2-3 ms at 1344; here it is host arithmetic off the
-    device clock, like the resize/normalize/pad it joins). Requires
-    H % 4 == W % 4 == 0.
+    Produces the (B, H/4+1, W/4+1, 16C) natural-order layout
+    (models/backbones/vovnet.py:s2d_stem_forward expects it): output
+    channel rho*4C + kap*C + c at spatial (i, j) holds input pixel
+    (4i + rho - 2, 4j + kap - 2), zero outside — i.e. pad 2 on every
+    side, then a single reshape/transpose. The whole stem then evaluates
+    at stride-4 spatial size with >=48-channel tensors, bit-identical
+    outputs, while the device never touches the MXU-hostile 3-channel
+    layout. One pass over the data (~9 ms at 1344 f32 on this host; the
+    round-2 strided-slice double-s2d formulation cost 36-100 ms).
+    Serving uses the fused C++ kernel instead (s2d_preprocess: normalize
+    + pad + s2d in one pass, ~1 ms). Requires H % 4 == W % 4 == 0.
     """
-    B, H, W, _ = images_nhwc.shape
+    B, H, W, C = images_nhwc.shape
     assert H % 4 == 0 and W % 4 == 0, (H, W)
-    x = np.pad(images_nhwc, ((0, 0), (2, 0), (2, 0), (0, 0)))
-    xd = _s2d2(x)  # (B, H/2+1, W/2+1, 4C)
-    xd = np.pad(xd, ((0, 0), (0, 1), (0, 1), (0, 0)))
-    return _s2d2(xd)  # (B, H/4+1, W/4+1, 16C)
+    P = np.pad(images_nhwc, ((0, 0), (2, 2), (2, 2), (0, 0)))
+    Ho, Wo = H // 4 + 1, W // 4 + 1
+    out = np.ascontiguousarray(
+        P.reshape(B, Ho, 4, Wo, 4, C).transpose(0, 1, 3, 2, 4, 5))
+    return out.reshape(B, Ho, Wo, 16 * C)
+
+
+_S2D_SRC = os.path.join(os.path.dirname(__file__), "native", "s2d.cpp")
+_S2D_SO = os.path.join(os.path.dirname(__file__), "native", "libs2d.so")
+_S2D_LIB = None
+_S2D_LOCK = threading.Lock()
+
+
+def _s2d_lib():
+    """Build (once) and load the fused native preprocessing kernel.
+    Returns None when no compiler is available (numpy fallback)."""
+    global _S2D_LIB
+    with _S2D_LOCK:
+        if _S2D_LIB is None:
+            try:
+                if (not os.path.exists(_S2D_SO)
+                        or os.path.getmtime(_S2D_SO)
+                        < os.path.getmtime(_S2D_SRC)):
+                    subprocess.check_call(
+                        ["g++", "-O3", "-march=native", "-fopenmp", "-shared",
+                         "-fPIC", "-std=c++17", "-o", _S2D_SO, _S2D_SRC])
+                lib = ctypes.CDLL(_S2D_SO)
+                i64 = ctypes.c_int64
+                f32p = np.ctypeslib.ndpointer(np.float32)
+                u8p = np.ctypeslib.ndpointer(np.uint8)
+                lib.s2d_preprocess_u8.restype = None
+                lib.s2d_preprocess_u8.argtypes = [
+                    u8p, i64, i64, i64, i64, f32p, f32p]
+                lib.s2d_preprocess_f32.restype = None
+                lib.s2d_preprocess_f32.argtypes = [
+                    f32p, i64, i64, i64, i64, f32p, f32p]
+                lib.s2d_pack_u8.restype = None
+                lib.s2d_pack_u8.argtypes = [u8p, i64, i64, i64, i64, u8p]
+                _S2D_LIB = lib
+            except (OSError, subprocess.CalledProcessError):  # pragma: no cover
+                _S2D_LIB = False
+    return _S2D_LIB or None
+
+
+def s2d_preprocess(image_hwc: np.ndarray,
+                   fixed_size: int = FIXED_EDGE_SIZE) -> np.ndarray:
+    """Fused normalize + pad-to-canvas + space-to-depth for ONE resized
+    image (uint8 or float32 HWC BGR). Returns the (1, F/4+1, F/4+1, 48)
+    f32 network input — bit-identical to
+    stem_space_to_depth(single_preprocessing(img)[None]) but one pass
+    over the data (native kernel; numpy fallback when g++ is absent).
+    """
+    h, w, C = image_hwc.shape
+    if h > fixed_size or w > fixed_size:
+        raise ValueError(
+            f"resized image ({h}x{w}) exceeds the padded canvas "
+            f"{fixed_size}x{fixed_size}")
+    assert fixed_size % 4 == 0, fixed_size
+    lib = _s2d_lib()
+    if lib is not None:
+        Ho = fixed_size // 4 + 1
+        out = np.empty((Ho, Ho, 16 * C), np.float32)
+        img = np.ascontiguousarray(image_hwc)
+        mean = np.ascontiguousarray(PIXEL_MEAN[:C], np.float32)
+        if img.dtype == np.uint8:
+            lib.s2d_preprocess_u8(img, h, w, C, fixed_size, mean, out)
+        else:
+            lib.s2d_preprocess_f32(img.astype(np.float32, copy=False),
+                                   h, w, C, fixed_size, mean, out)
+        return out[None]
+    return stem_space_to_depth(
+        single_preprocessing(image_hwc, fixed_size)[None])
+
+
+def s2d_pack_u8(image_hwc: np.ndarray,
+                fixed_size: int = FIXED_EDGE_SIZE) -> np.ndarray:
+    """Pad + space-to-depth ONE resized uint8 image WITHOUT normalizing:
+    returns the (1, F/4+1, F/4+1, 48) uint8 network input for the
+    on-device normalization path (CenterMask._normalize_u8_s2d). 1/4 the
+    host->device bytes of the f32 canvas — the transfer is the dominant
+    per-image cost on bandwidth-limited links."""
+    h, w, C = image_hwc.shape
+    if h > fixed_size or w > fixed_size:
+        raise ValueError(
+            f"resized image ({h}x{w}) exceeds the padded canvas "
+            f"{fixed_size}x{fixed_size}")
+    assert fixed_size % 4 == 0, fixed_size
+    img = np.ascontiguousarray(image_hwc, np.uint8)
+    lib = _s2d_lib()
+    if lib is not None:
+        Ho = fixed_size // 4 + 1
+        out = np.empty((Ho, Ho, 16 * C), np.uint8)
+        lib.s2d_pack_u8(img, h, w, C, fixed_size, out)
+        return out[None]
+    canvas = np.zeros((fixed_size, fixed_size, C), np.uint8)
+    canvas[:h, :w] = img
+    return stem_space_to_depth(canvas[None])
 
 
 def input_transform_for(model):
@@ -133,17 +223,31 @@ def preprocess_for_model(
     fixed_size: int = FIXED_EDGE_SIZE,
     short: int = MIN_EDGE_SIZE,
     max_size: int = MAX_EDGE_SIZE,
+    s2d: bool = False,
+    u8: bool = False,
 ) -> Dict:
     """Full host pipeline for one image: returns the NHWC network input plus
-    the metadata postprocessing needs."""
+    the metadata postprocessing needs. With ``s2d`` (the
+    TPU.S2D_STEM_INPUT serving layout), normalize + pad + space-to-depth
+    run as ONE fused native pass straight off the uint8 resize output and
+    "input" is the (1, F/4+1, F/4+1, 48) s2d tensor — no separate
+    input_transform_for step needed. ``u8`` (implies s2d) skips host
+    normalization and returns the raw uint8 s2d pack — pass "valid_hw"
+    to the model so it normalizes on device (4x less transfer)."""
     original = read_image_bgr(path)
     h, w = original.shape[:2]
-    image = resize_shortest_edge(original, short, max_size).astype(np.float32)
-    padded = single_preprocessing(image, fixed_size)
+    image = resize_shortest_edge(original, short, max_size)
+    if u8:
+        inp = s2d_pack_u8(image, fixed_size)
+    elif s2d:
+        inp = s2d_preprocess(image, fixed_size)
+    else:
+        inp = single_preprocessing(image.astype(np.float32), fixed_size)[None]
     return {
-        "input": padded[None],  # (1, F, F, 3)
+        "input": inp,
         "resized_hw": image.shape[:2],
         "original_hw": (h, w),
+        "valid_hw": np.asarray([image.shape[:2]], np.int32),
         "short": short,
         "max_size": max_size,
     }

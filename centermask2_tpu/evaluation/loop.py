@@ -5,15 +5,20 @@ periodic evaluation (TEST.EVAL_PERIOD — detectron2's EvalHook analog):
 preprocess -> model -> host postprocess -> mask-score-aware COCO
 evaluator. Returns the metrics dict {task: {metric: value}} including
 the class-agnostic box_proposals AR block.
+
+The loop is pipelined for single-core hosts feeding one chip: a
+prefetch thread runs decode/resize/s2d ahead of the device, and the
+device step is dispatched asynchronously (image i+1 enters the queue
+before the host blocks on image i's outputs), so host preprocessing and
+postprocessing overlap device compute instead of serializing with it.
 """
 
 from __future__ import annotations
 
 import json
 import time
+from collections import deque
 from typing import Callable, Optional, Tuple
-
-import numpy as np
 
 
 def evaluate_dataset(
@@ -31,32 +36,41 @@ def evaluate_dataset(
     ds=None,
     gt=None,
     progress_every: int = 50,
+    pipeline_depth: int = 2,
 ):
     """Evaluate ``model`` over a COCO-format dataset one image at a time.
 
-    ``fn(variables, images)`` overrides the jitted forward (defaults to
-    ``jax.jit(model.apply)``) — pass a hoisted jitted fn when calling
-    periodically, or the fresh lambda here defeats jit's in-memory trace
-    cache. ``ds`` (CocoDataset) / ``gt`` (COCOGt) skip re-parsing the
-    annotation json. Returns (results, avg_ms_per_image, evaluator) —
-    the evaluator exposes the raw COCO-json ``predictions``.
+    ``fn(variables, images, valid_hw)`` overrides the jitted forward
+    (defaults to ``jax.jit(model.apply)``) — pass a hoisted jitted fn
+    when calling periodically, or the fresh lambda here defeats jit's
+    in-memory trace cache. ``ds`` (CocoDataset) / ``gt`` (COCOGt) skip
+    re-parsing the annotation json. Returns
+    (results, avg_ms_per_image, evaluator) — avg_ms is the SUSTAINED
+    wall-clock rate of the pipelined loop (host preprocess + transfer +
+    device + postprocess, overlapped), and the evaluator exposes the raw
+    COCO-json ``predictions``.
+
+    With an s2d-input model the device is fed the RAW uint8 s2d pack
+    (1/4 the transfer bytes; normalization on device), bit-identical to
+    the f32 path.
     """
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from centermask2_tpu.data import (detector_postprocess,
                                       preprocess_for_model,
                                       single_wrap_outputs)
     from centermask2_tpu.data.coco import CocoDataset
-    from centermask2_tpu.data.preprocess import input_transform_for
+    from centermask2_tpu.data.prefetch import prefetch
     from centermask2_tpu.evaluation import COCOEvaluator, COCOGt
 
     if fn is None:
-        fn = jax.jit(lambda v, im: model.apply(v, im))
+        fn = jax.jit(lambda v, im, hw: model.apply(v, im, None, hw))
     # host-numpy weights would re-upload per jit call (once per image) —
     # place them on device once
     variables = jax.device_put(variables)
-    to_input = input_transform_for(model)
+    s2d = bool(getattr(model, "s2d_input", False))
 
     if ds is None:
         ds = CocoDataset(ann, image_root, filter_empty=False)
@@ -67,14 +81,19 @@ def evaluate_dataset(
                               category_id_map=ds.contiguous_to_cat)
 
     ids = ds.ids[:limit] if limit else ds.ids
-    total_time = 0.0
-    for n, img_id in enumerate(ids):
-        pre = preprocess_for_model(ds.image_path(img_id), fixed_size,
-                                   min_size, max_size)
-        t0 = time.perf_counter()
-        out = fn(variables, jnp.asarray(to_input(pre["input"])))
-        out = jax.tree.map(np.asarray, out)
-        total_time += time.perf_counter() - t0
+
+    def produce():
+        for img_id in ids:
+            yield img_id, preprocess_for_model(
+                ds.image_path(img_id), fixed_size, min_size, max_size,
+                s2d=s2d, u8=s2d)
+
+    n_done = 0
+
+    def drain(pending):
+        nonlocal n_done
+        img_id, pre, out = pending.popleft()
+        out = jax.tree.map(np.asarray, out)  # blocks on this image only
         out_b = jax.tree.map(lambda x: x[0], out)
         valid = out_b.valid
         tup = (out_b.locations[valid], out_b.mask_scores[valid],
@@ -85,11 +104,27 @@ def evaluate_dataset(
         post = detector_postprocess(wrapped, h, w, short=pre["short"],
                                     max_size=pre["max_size"])
         evaluator.process(img_id, post)
-        if progress_every and (n + 1) % progress_every == 0:
-            print(f"[eval {n + 1}/{len(ids)}] "
-                  f"{total_time / (n + 1) * 1000:.1f} ms/img")
+        n_done += 1
+        if progress_every and n_done % progress_every == 0:
+            rate = (time.perf_counter() - t_start) / n_done * 1000
+            print(f"[eval {n_done}/{len(ids)}] {rate:.1f} ms/img sustained")
+
+    pending: deque = deque()
+    t_start = time.perf_counter()
+    for img_id, pre in prefetch(produce(), depth=max(2, pipeline_depth)):
+        # async dispatch: the device starts on this image while the host
+        # postprocesses an older one and the prefetch thread decodes a
+        # newer one
+        out = fn(variables, jnp.asarray(pre["input"]),
+                 jnp.asarray(pre["valid_hw"]))
+        pending.append((img_id, pre, out))
+        if len(pending) > pipeline_depth:
+            drain(pending)
+    while pending:
+        drain(pending)
+    wall = time.perf_counter() - t_start
 
     results = evaluator.evaluate()
     results["box_proposals"] = evaluator.evaluate_proposals()
-    avg_ms = total_time / max(len(ids), 1) * 1000.0
+    avg_ms = wall / max(len(ids), 1) * 1000.0
     return results, avg_ms, evaluator

@@ -169,8 +169,8 @@ def _embed_s2d_kernel(w: jnp.ndarray, P: int, Q: int) -> jnp.ndarray:
     row as 2(i+a)+alpha, the window offsets a span {-1,0} for P=0 and
     {0,1} for P=1; the kernel entry at window position a', input phase
     (alpha, beta) is w[dy, dx] with dy = 2(a'+amin)+alpha-P+1 (zero when
-    dy/dx falls outside 0..2). Channel blocks are (alpha, beta)-major,
-    matching data/preprocess.py:_s2d2's phase concat order.
+    dy/dx falls outside 0..2). Channel blocks are (alpha, beta)-major —
+    the (p, q) row-major phase packing stem_1 emits (s2d_stem_forward).
     """
     kh, kw, C, O = w.shape
     K = jnp.zeros((2, 2, 4 * C, O), w.dtype)
@@ -188,26 +188,31 @@ def _embed_s2d_kernel(w: jnp.ndarray, P: int, Q: int) -> jnp.ndarray:
     return K
 
 
-def _embed_stem1_kernel(w2: jnp.ndarray, p: int, q: int) -> jnp.ndarray:
-    """Zero-embed the regrouped stem_1 kernel w2 (2, 2, 12, O) — a
-    2x2/VALID conv on the first s2d level xd — as the (2, 2, 48, O)
-    kernel computing y1 phase (p, q) on the second s2d level xd2.
+def _embed_stem1_nat(w1: jnp.ndarray) -> jnp.ndarray:
+    """Zero-embed the stem_1 (3, 3, C, O) conv/s2/pad1 kernel as the
+    (2, 2, 16C, 4O) kernel computing all four output phases of y1 in one
+    2x2/VALID conv over the natural-order factor-4 space-to-depth input
+    (data/preprocess.py:stem_space_to_depth — output channel
+    rho*4C + kap*C + c holds image pixel (4i + rho - 2, 4j + kap - 2)).
 
-    y1 row 2i+p taps xd rows 2i+p+t (t in 0..1) = 2(i+a)+alpha with
-    window base a=0; entry at window position a', xd phase (alpha, beta)
-    is w2[t_r, t_c] with t_r = 2a'+alpha-p (zero outside 0..1).
+    y1[2i+p, 2j+q] = sum_{dy,dx} w1[dy, dx] * P4[4i + 2p + dy + 1, ...]
+    where P4 is the image padded by 2 on every side; the conv window
+    position a and input row-phase rho satisfy 4a + rho = 2p + dy + 1
+    (and likewise for columns), so every tap lands in a unique
+    (window, phase) slot. Output phases are packed (p, q) row-major
+    along channels — the block order _embed_s2d_kernel expects.
     """
-    _, _, C12, O = w2.shape
-    K = jnp.zeros((2, 2, 4 * C12, O), w2.dtype)
-    for ap in range(2):
-        for bp in range(2):
-            for alpha in range(2):
-                for beta in range(2):
-                    tr = 2 * ap + alpha - p
-                    tc = 2 * bp + beta - q
-                    if 0 <= tr < 2 and 0 <= tc < 2:
-                        blk = (alpha * 2 + beta) * C12
-                        K = K.at[ap, bp, blk:blk + C12, :].set(w2[tr, tc])
+    kh, kw, C, O = w1.shape
+    K = jnp.zeros((2, 2, 16 * C, 4 * O), w1.dtype)
+    for p in (0, 1):
+        for q in (0, 1):
+            for dy in range(kh):
+                for dx in range(kw):
+                    a, rho = divmod(2 * p + dy + 1, 4)
+                    b, kap = divmod(2 * q + dx + 1, 4)
+                    blk = (rho * 4 + kap) * C
+                    out = (p * 2 + q) * O
+                    K = K.at[a, b, blk:blk + C, out:out + O].set(w1[dy, dx])
     return K
 
 
@@ -258,13 +263,10 @@ def s2d_stem_forward(xd2, k1, k2, k3, dtype) -> jnp.ndarray:
         return jax.nn.relu(y * s + b)
 
     # stem_1: 4 output phases of y1 (the conv3x3/s2/p1 on the image),
-    # computed straight from xd2 (window base a=0 -> no input padding),
+    # computed straight from the natural-order s2d input in ONE conv,
     # packed (p, q) row-major along channels = the s2d block order
     # _embed_s2d_kernel expects downstream
-    w1r = regroup_stem1_kernel(w1)  # (2, 2, 12, C1)
-    k1all = jnp.concatenate(
-        [_embed_stem1_kernel(w1r, p, q) for p in (0, 1) for q in (0, 1)],
-        axis=-1)  # (2, 2, 48, 4*C1)
+    k1all = _embed_stem1_nat(w1)  # (2, 2, 48, 4*C1)
     y1d = affine_relu(_conv2x2_valid(xd2, k1all, dtype), s1, b1, 4)
 
     # stem_2: conv3x3/s1/p1 in s2d space — 2 paired phase convs over the

@@ -145,8 +145,14 @@ class CenterMask(nn.Module):
     roi_iou_labels: Sequence[int] = (0, 1)
     proposal_append_gt: bool = True
     # input layout: images are host space-to-depth'd (B, H/4+1, W/4+1, 48)
-    # via data/preprocess.py:stem_space_to_depth (vovnet, non-dw only)
+    # via data/preprocess.py:stem_space_to_depth (vovnet, non-dw only).
+    # Inference additionally accepts this layout as RAW uint8 (packed by
+    # data/preprocess.py:s2d_pack_u8, normalization done on device) —
+    # 4x less host->device traffic per image, bit-identical outputs.
     s2d_input: bool = False
+    # BGR mean for on-device normalization of uint8 inputs
+    # (MODEL.PIXEL_MEAN; host f32 preprocessing uses the same constants)
+    pixel_mean: Sequence[float] = (103.53, 116.28, 123.675)
     # rematerialize the backbone in the backward pass (jax.checkpoint):
     # trades ~15% extra forward FLOPs for dropping every backbone
     # activation from HBM — the multi-scale 3x recipe at 1344 keeps
@@ -248,8 +254,40 @@ class CenterMask(nn.Module):
 
     # ------------------------------------------------------------------
     def __call__(self, images: jnp.ndarray,
-                 image_sizes: Optional[jnp.ndarray] = None) -> InferenceOutputs:
-        return self.inference(images, image_sizes)
+                 image_sizes: Optional[jnp.ndarray] = None,
+                 valid_hw: Optional[jnp.ndarray] = None) -> InferenceOutputs:
+        return self.inference(images, image_sizes, valid_hw)
+
+    def _normalize_u8_s2d(self, images: jnp.ndarray,
+                          valid_hw: Optional[jnp.ndarray]) -> jnp.ndarray:
+        """On-device normalization for RAW uint8 s2d inputs: cast to f32,
+        subtract the BGR mean, and zero everything outside the true
+        resized image (the reference zero-pads the normalized canvas,
+        deploy_utils.py:85-90 — the u8 canvas's padding bytes are 0, so
+        without masking they would read as -mean after subtraction).
+        Bit-identical to the host f32 path (u8->f32 is exact; same f32
+        subtract). ``valid_hw``: (B, 2) int32 true resized (h, w);
+        defaults to the full canvas. Elementwise only — XLA fuses it
+        into the stem conv's input."""
+        if images.dtype != jnp.uint8:
+            return images
+        assert self.s2d_input, "uint8 input requires the s2d layout"
+        B, Ho, Wo, C16 = images.shape
+        C = C16 // 16
+        H, W = (Ho - 1) * 4, (Wo - 1) * 4
+        if valid_hw is None:
+            valid_hw = jnp.tile(jnp.array([[H, W]], jnp.int32), (B, 1))
+        # channel rho*4C + kap*C + c holds pixel (4i + rho - 2, 4j + kap - 2)
+        rows = 4 * jnp.arange(Ho)[:, None] + jnp.arange(4)[None, :] - 2
+        cols = 4 * jnp.arange(Wo)[:, None] + jnp.arange(4)[None, :] - 2
+        rvalid = (rows[None] >= 0) & (rows[None] < valid_hw[:, :1, None])
+        cvalid = (cols[None] >= 0) & (cols[None] < valid_hw[:, 1:, None])
+        x = images.astype(jnp.float32).reshape(B, Ho, Wo, 4, 4, C)
+        mean = jnp.asarray(self.pixel_mean, jnp.float32)
+        mask = (rvalid[:, :, None, :, None, None]
+                & cvalid[:, None, :, None, :, None])
+        x = jnp.where(mask, x - mean, 0.0)
+        return x.reshape(B, Ho, Wo, C16)
 
     def canvas_hw(self, images: jnp.ndarray) -> Tuple[int, int]:
         """Original padded-canvas (H, W) for an input batch, undoing the
@@ -260,14 +298,19 @@ class CenterMask(nn.Module):
         return H, W
 
     def inference(self, images: jnp.ndarray,
-                  image_sizes: Optional[jnp.ndarray] = None) -> InferenceOutputs:
+                  image_sizes: Optional[jnp.ndarray] = None,
+                  valid_hw: Optional[jnp.ndarray] = None) -> InferenceOutputs:
         """Full inference to the 6-tensor contract. ``image_sizes``: (B, 2)
         true (h, w) per image (defaults to the padded size, matching the
-        reference's FakeImageList deployment contract)."""
+        reference's FakeImageList deployment contract). ``valid_hw``:
+        (B, 2) int32 true resized sizes, only needed for RAW uint8 s2d
+        inputs (on-device normalization masking — see _normalize_u8_s2d);
+        it does NOT change box/ROI semantics (image_sizes does that)."""
         B = images.shape[0]
         H, W = self.canvas_hw(images)
         if image_sizes is None:
             image_sizes = jnp.tile(jnp.array([[H, W]], jnp.float32), (B, 1))
+        images = self._normalize_u8_s2d(images, valid_hw)
         feats = self.features(images)
         locations, logits, reg, ctr = self._fcos_raw(feats)
         proposals = self._decode(locations, logits, reg, ctr, training=False)
@@ -648,6 +691,7 @@ def build_centermask(cfg: CfgNode) -> CenterMask:
         positive_fraction=cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION,
         max_fg_proposals=cfg.TPU.MAX_FG_PROPOSALS,
         s2d_input=(cfg.TPU.S2D_STEM_INPUT and backbone_type == "vovnet"),
+        pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
         remat_backbone=cfg.TPU.REMAT_BACKBONE,
         dtype=dtype,
     )

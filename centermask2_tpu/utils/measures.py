@@ -50,3 +50,31 @@ def summarize(fn: Callable, params: Any, *example_args) -> Dict[str, float]:
     out["params"] = float(count_params(params))
     out["param_bytes"] = float(param_bytes(params))
     return out
+
+
+# Peak dense bf16 matmul throughput per chip (FLOP/s), by device_kind
+# substring. Sources: public TPU spec sheets (v4 275, v5e 197, v5p 459,
+# v6e/Trillium 918 TFLOP/s bf16).
+_CHIP_PEAKS = (
+    ("v6", 918e12),
+    ("v5p", 459e12),
+    ("v5 lite", 197e12),
+    ("v5litepod", 197e12),
+    ("v5e", 197e12),
+    ("v4", 275e12),
+    ("v3", 123e12),
+    ("v2", 46e12),
+)
+
+
+def chip_peak_flops(device=None) -> float:
+    """Best-effort peak bf16 FLOP/s of ``device`` (default: first device).
+    Returns 0.0 when the chip is unknown (e.g. CPU) — callers should skip
+    MFU reporting then."""
+    if device is None:
+        device = jax.devices()[0]
+    kind = getattr(device, "device_kind", "").lower()
+    for key, peak in _CHIP_PEAKS:
+        if key in kind:
+            return peak
+    return 0.0

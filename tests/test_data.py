@@ -141,3 +141,75 @@ def test_bucketing():
     for bucket, chunk, n_real in batches:
         assert len(chunk) == 2
         assert 1 <= n_real <= 2
+
+
+def test_s2d_preprocess_fused_bit_exact():
+    """The fused native normalize+pad+s2d kernel must be bit-identical to
+    the composition stem_space_to_depth(single_preprocessing(img)), for
+    uint8 and float32 inputs across border-heavy sizes."""
+    from centermask2_tpu.data.preprocess import (s2d_preprocess,
+                                                 single_preprocessing,
+                                                 stem_space_to_depth)
+
+    rng = np.random.RandomState(7)
+    for (h, w) in [(64, 64), (3, 5), (61, 33), (64, 17)]:
+        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        ref = stem_space_to_depth(
+            single_preprocessing(img.astype(np.float32), 64)[None])
+        got_u8 = s2d_preprocess(img, 64)
+        got_f32 = s2d_preprocess(img.astype(np.float32), 64)
+        assert got_u8.shape == ref.shape == (1, 17, 17, 48)
+        assert np.array_equal(ref, got_u8), (h, w)
+        assert np.array_equal(ref, got_f32), (h, w)
+
+
+def test_s2d_preprocess_numpy_fallback(monkeypatch):
+    """Without the native library the numpy fallback must produce the
+    same bytes."""
+    from centermask2_tpu.data import preprocess as pp
+
+    rng = np.random.RandomState(8)
+    img = (rng.rand(50, 61, 3) * 255).astype(np.uint8)
+    native = pp.s2d_preprocess(img, 64)
+    monkeypatch.setattr(pp, "_s2d_lib", lambda: None)
+    fallback = pp.s2d_preprocess(img, 64)
+    assert np.array_equal(native, fallback)
+    # raw u8 pack fallback too
+    native_u8 = pp.s2d_pack_u8(img, 64)
+    monkeypatch.undo()
+    assert native_u8.dtype == np.uint8
+    monkeypatch.setattr(pp, "_s2d_lib", lambda: None)
+    assert np.array_equal(native_u8, pp.s2d_pack_u8(img, 64))
+
+
+def test_s2d_pack_u8_layout():
+    """Raw u8 pack == space-to-depth of the zero-padded uint8 canvas."""
+    from centermask2_tpu.data.preprocess import s2d_pack_u8, stem_space_to_depth
+
+    rng = np.random.RandomState(9)
+    img = (rng.rand(30, 44, 3) * 255).astype(np.uint8)
+    canvas = np.zeros((64, 64, 3), np.uint8)
+    canvas[:30, :44] = img
+    ref = stem_space_to_depth(canvas[None])
+    got = s2d_pack_u8(img, 64)
+    assert got.dtype == np.uint8 and np.array_equal(ref, got)
+
+
+def test_stem_space_to_depth_natural_order():
+    """Channel rho*4C + kap*C + c at (i, j) holds pixel
+    (4i + rho - 2, 4j + kap - 2), zero outside."""
+    from centermask2_tpu.data.preprocess import stem_space_to_depth
+
+    rng = np.random.RandomState(10)
+    x = rng.randn(1, 8, 8, 3).astype(np.float32)
+    out = stem_space_to_depth(x)
+    assert out.shape == (1, 3, 3, 48)
+    for i in range(3):
+        for j in range(3):
+            for rho in range(4):
+                for kap in range(4):
+                    for c in range(3):
+                        r, co = 4 * i + rho - 2, 4 * j + kap - 2
+                        want = (x[0, r, co, c]
+                                if 0 <= r < 8 and 0 <= co < 8 else 0.0)
+                        assert out[0, i, j, rho * 12 + kap * 3 + c] == want

@@ -184,3 +184,25 @@ def test_mobilenet_backbone_from_cfg():
     params = model.init(jax.random.PRNGKey(0), x)
     out = model.apply(params, x)
     assert out.scores.shape == (1, 5)
+
+
+def test_uint8_s2d_input_bit_identical():
+    """The RAW uint8 s2d serving input (on-device normalization,
+    CenterMask._normalize_u8_s2d) must produce bit-identical outputs to
+    the host-normalized f32 s2d path."""
+    from centermask2_tpu.data.preprocess import s2d_pack_u8, s2d_preprocess
+
+    rng = np.random.RandomState(5)
+    model = tiny_model(s2d_input=True, mask_on=True, maskiou_on=True,
+                       nms_candidates=50, pre_nms_topk_test=50)
+    img = (rng.rand(50, 61, 3) * 255).astype(np.uint8)
+    x_f32 = jnp.asarray(s2d_preprocess(img, 64))
+    x_u8 = jnp.asarray(s2d_pack_u8(img, 64))
+    hw = jnp.asarray([[50, 61]], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x_f32)
+    out_f = model.apply(params, x_f32)
+    out_u = model.apply(params, x_u8, None, hw)
+    for name in out_f._fields:
+        a = np.asarray(getattr(out_f, name))
+        b = np.asarray(getattr(out_u, name))
+        assert np.array_equal(a, b), name

@@ -91,7 +91,14 @@ def main():
             from centermask2_tpu.checkpoint.orbax_io import load_checkpoint
             variables = load_checkpoint(args.weights, target=variables)
 
-    fn = jax.jit(lambda v, im: model.apply(v, im))
+    # eval-loop forward contract: fn(variables, images, valid_hw) —
+    # valid_hw drives on-device normalization of raw uint8 s2d inputs
+    # (unused, and DCE'd by XLA, for f32 inputs)
+    fn = jax.jit(lambda v, im, hw: model.apply(v, im, None, hw))
+    if args.data_parallel and args.batch_size <= 1:
+        raise SystemExit(
+            "--data-parallel requires --batch-size > 1 (a multiple of the "
+            "device count); with batch 1 there is nothing to shard")
     if args.data_parallel and args.batch_size > 1:
         # SPMD serving: batch sharded over the data mesh, each device
         # running the optimized single-image program on its shard
@@ -112,15 +119,20 @@ def main():
             sizes = default_image_sizes(model, im)
             return dp_infer(v, *shard_batch((im, sizes), mesh))
     elif args.batch_size > 1:
-        fn = jax.jit(lambda v, im: model.apply(v, im,
-                                               method="inference_batched"))
+        # Single-chip "batched" serving is host-pipelined async dispatch
+        # of the B=1 program: XLA's B>1 conv layouts measurably regress
+        # (see CenterMask.inference_batched — kept for API parity), so
+        # the fastest batched mode on one chip is the single-image
+        # executable with batch_size images in flight.
+        print(f"[note] batch-size {args.batch_size} on one chip runs the "
+              "pipelined single-image program (see inference_batched)")
 
     ds = CocoDataset(args.ann, args.image_root, filter_empty=False)
     ids = ds.ids[: args.limit] if args.limit else ds.ids
     with open(args.ann) as f:
         gt = COCOGt(json.load(f))
 
-    if args.batch_size <= 1:
+    if not args.data_parallel:
         from centermask2_tpu.evaluation.loop import evaluate_dataset
 
         results, avg_ms, evaluator = evaluate_dataset(
@@ -128,7 +140,7 @@ def main():
             fixed_size=fixed, min_size=cfg.INPUT.MIN_SIZE_TEST,
             max_size=cfg.INPUT.MAX_SIZE_TEST,
             tasks=tuple(args.tasks.split(",")), limit=args.limit, fn=fn,
-            ds=ds, gt=gt)
+            ds=ds, gt=gt, pipeline_depth=max(2, args.batch_size))
         finish(args, results, evaluator, avg_ms)
         return
 
@@ -160,10 +172,10 @@ def main():
     for bucket, chunk, n_real in batches_from_groups(groups, args.batch_size):
         pres = [preprocess_for_model(ds.image_path(ids[i]), bucket,
                                      cfg.INPUT.MIN_SIZE_TEST,
-                                     cfg.INPUT.MAX_SIZE_TEST)
+                                     cfg.INPUT.MAX_SIZE_TEST,
+                                     s2d=model.s2d_input)
                 for i in chunk]
-        batch = jnp.asarray(to_input(
-            np.concatenate([p["input"] for p in pres])))
+        batch = jnp.asarray(np.concatenate([p["input"] for p in pres]))
         t0 = time.perf_counter()
         out = fn(variables, batch)
         out = jax.tree.map(np.asarray, out)

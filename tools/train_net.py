@@ -123,7 +123,7 @@ def main():
         from centermask2_tpu.evaluation import COCOGt
         from centermask2_tpu.evaluation.loop import evaluate_dataset
 
-        eval_fn = jax.jit(lambda v, im: model.apply(v, im))
+        eval_fn = jax.jit(lambda v, im, hw: model.apply(v, im, None, hw))
         eval_ds = _CocoDataset(args.val_ann,
                                args.val_image_root or args.image_root,
                                filter_empty=False)
