@@ -199,6 +199,9 @@ _C.INPUT.MASK_FORMAT = "polygon"
 _C.TEST = CN()
 _C.TEST.DETECTIONS_PER_IMAGE = 100
 _C.TEST.EVAL_PERIOD = 0
+# OKS sigmas for the "keypoints" eval task; empty = COCO's 17 defaults
+# (d2 TEST.KEYPOINT_OKS_SIGMAS; reference coco_evaluation.py:80)
+_C.TEST.KEYPOINT_OKS_SIGMAS = []
 
 # ---------------------------------------------------------------------------
 # TPU (new): static-shape capacities and compute policy.

@@ -58,10 +58,12 @@ def single_wrap_outputs(
     topk: int = 50,
 ) -> Dict[str, np.ndarray]:
     """Truncate the 6-tensor contract to the top ``topk`` rows
-    (reference deploy_utils.py:101-114)."""
+    (reference deploy_utils.py:101-114). A 7th tensor, pred_keypoints
+    (R, K, 3), may follow when the keypoint head is on."""
     keys = ["locations", "mask_scores", "pred_boxes", "pred_classes",
-            "pred_masks", "scores"]
-    out = {k: np.asarray(v)[:topk] for k, v in zip(keys, tuple_outputs)}
+            "pred_masks", "scores", "pred_keypoints"]
+    out = {k: np.asarray(v)[:topk]
+           for k, v in zip(keys, tuple_outputs) if v is not None}
     out["image_size"] = (height, width)
     return out
 
@@ -92,6 +94,13 @@ def detector_postprocess(
         masks = masks[:, 0]
     out["pred_masks"] = paste_masks_np(masks, out["pred_boxes"], (h, w),
                                        mask_threshold)
+    if "pred_keypoints" in results:
+        # d2 detector_postprocess: scale keypoint x, y to the original
+        # resolution (visibility/prob column untouched)
+        kp = results["pred_keypoints"][nonempty].astype(np.float32).copy()
+        kp[..., 0] *= inv
+        kp[..., 1] *= inv
+        out["pred_keypoints"] = kp
     out["image_size"] = (h, w)
     return out
 

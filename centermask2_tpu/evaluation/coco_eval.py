@@ -30,6 +30,53 @@ AREA_RNG = {
     "medium": (32.0**2, 96.0**2),
     "large": (96.0**2, 1e10),
 }
+# keypoint (OKS) protocol: maxDets [20], no "small" area bucket
+# (pycocotools Params.setKpParams)
+KPT_MAX_DETS = (20,)
+KPT_AREA_RNG = {
+    "all": (0.0, 1e10),
+    "medium": (32.0**2, 96.0**2),
+    "large": (96.0**2, 1e10),
+}
+# COCO 17-keypoint OKS sigmas (cocodataset.org/#keypoints-eval)
+COCO_KPT_SIGMAS = np.array(
+    [.26, .25, .25, .35, .35, .79, .79, .72, .72, .62, .62, 1.07, 1.07,
+     .87, .87, .89, .89]) / 10.0
+
+
+def compute_oks(
+    dt_kpts: np.ndarray,  # (D, K*3) flattened x, y, v
+    gts: List[Dict],
+    sigmas: np.ndarray,
+) -> np.ndarray:
+    """pycocotools computeOks: per (dt, gt) object keypoint similarity.
+    gts are COCO annotations with 'keypoints', 'bbox', 'area'."""
+    D, G = len(dt_kpts), len(gts)
+    ious = np.zeros((D, G))
+    if D == 0 or G == 0:
+        return ious
+    variances = (sigmas * 2.0) ** 2
+    k = len(sigmas)
+    for j, gt in enumerate(gts):
+        g = np.asarray(gt["keypoints"], np.float64)
+        xg, yg, vg = g[0::3], g[1::3], g[2::3]
+        k1 = int(np.count_nonzero(vg > 0))
+        bb = gt["bbox"]
+        x0, x1 = bb[0] - bb[2], bb[0] + bb[2] * 2
+        y0, y1 = bb[1] - bb[3], bb[1] + bb[3] * 2
+        for i in range(D):
+            d = np.asarray(dt_kpts[i], np.float64)
+            xd, yd = d[0::3], d[1::3]
+            if k1 > 0:
+                dx, dy = xd - xg, yd - yg
+            else:  # no visible gt keypoints: distance to the doubled bbox
+                dx = np.maximum(0, x0 - xd) + np.maximum(0, xd - x1)
+                dy = np.maximum(0, y0 - yd) + np.maximum(0, yd - y1)
+            e = (dx**2 + dy**2) / variances / (gt["area"] + np.spacing(1)) / 2
+            if k1 > 0:
+                e = e[vg > 0]
+            ious[i, j] = np.sum(np.exp(-e)) / e.shape[0] if e.shape[0] else 0.0
+    return ious
 
 
 class COCOGt:
@@ -60,17 +107,22 @@ class COCOGt:
 def _match_image(
     dts: List[Dict], gts: List[Dict], ious: np.ndarray,
     area_rng, max_det: int, use_native: bool = True,
+    gt_extra_ignore: Optional[np.ndarray] = None,
 ):
     """COCOeval.evaluateImg for one (img, cat, areaRng, maxDet).
 
     The O(T*D*G) greedy matching runs in native code by default
     (maskapi.cpp:coco_match — the reference stack's COCOeval_opt
     equivalent, coco_evaluation.py:25,566); ``use_native=False`` selects
-    the pure-Python loop kept as the parity oracle."""
+    the pure-Python loop kept as the parity oracle. ``gt_extra_ignore``
+    adds per-gt forced ignores (keypoint eval ignores gts with zero
+    annotated keypoints, pycocotools COCOeval._prepare)."""
     T = len(IOU_THRS)
     gt_ignore = np.array(
         [bool(g.get("iscrowd", 0)) or g["area"] < area_rng[0]
          or g["area"] > area_rng[1] for g in gts], bool)
+    if gt_extra_ignore is not None and len(gts):
+        gt_ignore = gt_ignore | np.asarray(gt_extra_ignore, bool)
     # gts sorted: non-ignored first
     gt_order = np.argsort(gt_ignore, kind="stable")
     gts_sorted = [gts[i] for i in gt_order]
@@ -128,20 +180,50 @@ def _match_image(
 
 
 class COCOEval:
-    """COCOeval-compatible accumulate/summarize on (gt, detections)."""
+    """COCOeval-compatible accumulate/summarize on (gt, detections).
 
-    def __init__(self, gt: COCOGt, iou_type: str = "bbox"):
-        assert iou_type in ("bbox", "segm")
+    iou_type "keypoints" runs the OKS protocol (pycocotools kp params:
+    maxDets [20], areas all/medium/large, metrics AP/AP50/AP75/APm/APl —
+    reference coco_evaluation.py:64,80,310)."""
+
+    def __init__(self, gt: COCOGt, iou_type: str = "bbox",
+                 kpt_sigmas: Optional[Sequence[float]] = None):
+        assert iou_type in ("bbox", "segm", "keypoints")
         self.gt = gt
         self.iou_type = iou_type
         self.img_ids = sorted(gt.imgs.keys())
         self.cat_ids = sorted(gt.cats.keys())
+        if iou_type == "keypoints":
+            self.max_dets = list(KPT_MAX_DETS)
+            self.area_rng = dict(KPT_AREA_RNG)
+            self.kpt_sigmas = np.asarray(
+                kpt_sigmas if kpt_sigmas is not None and len(kpt_sigmas)
+                else COCO_KPT_SIGMAS, np.float64)
+        else:
+            self.max_dets = list(MAX_DETS)
+            self.area_rng = dict(AREA_RNG)
 
     def _dt_area(self, det: Dict) -> float:
         if self.iou_type == "segm":
             return float(rle_lib.area(rle_lib.from_coco(det["segmentation"])))
+        if self.iou_type == "keypoints":
+            # pycocotools loadRes: keypoint-extent area
+            kp = np.asarray(det["keypoints"], np.float64)
+            x, y = kp[0::3], kp[1::3]
+            return float((x.max() - x.min()) * (y.max() - y.min()))
         b = det["bbox"]
         return float(b[2] * b[3])
+
+    def _gt_extra_ignore(self, gts: List[Dict]) -> Optional[np.ndarray]:
+        if self.iou_type != "keypoints":
+            return None
+        # ignore gts with no annotated keypoints (COCOeval._prepare)
+        return np.array([
+            int(g.get("num_keypoints",
+                      int(np.count_nonzero(
+                          np.asarray(g.get("keypoints", []))[2::3] > 0))
+                      if "keypoints" in g else 0)) == 0
+            for g in gts], bool)
 
     def evaluate(self, detections: List[Dict]) -> Dict[str, float]:
         """detections: COCO results list (bbox xywh and/or segmentation RLE
@@ -161,11 +243,11 @@ class COCOEval:
                 gt_by_key[(img_id, ann["category_id"])].append(ann)
 
         T, R = len(IOU_THRS), len(REC_THRS)
-        K, A, M = len(self.cat_ids), len(AREA_RNG), len(MAX_DETS)
+        K, A, M = len(self.cat_ids), len(self.area_rng), len(self.max_dets)
         precision = -np.ones((T, R, K, A, M))
         recall = -np.ones((T, K, A, M))
 
-        area_items = list(AREA_RNG.items())
+        area_items = list(self.area_rng.items())
         for k, cat in enumerate(self.cat_ids):
             per_img = []
             for img_id in self.img_ids:
@@ -175,14 +257,15 @@ class COCOEval:
                     per_img.append(None)
                     continue
                 ious = self._iou(dts, gts)
-                per_img.append((dts, gts, ious))
+                per_img.append((dts, gts, ious, self._gt_extra_ignore(gts)))
 
             for a, (_, rng) in enumerate(area_items):
-                for m, max_det in enumerate(MAX_DETS):
+                for m, max_det in enumerate(self.max_dets):
                     evals = [
-                        _match_image(dts, gts, ious, rng, max_det)
+                        _match_image(dts, gts, ious, rng, max_det,
+                                     gt_extra_ignore=extra)
                         for entry in per_img if entry is not None
-                        for (dts, gts, ious) in [entry]
+                        for (dts, gts, ious, extra) in [entry]
                     ]
                     if not evals:
                         continue
@@ -231,6 +314,10 @@ class COCOEval:
         """
         if not dts or not gts:
             return np.zeros((len(dts), len(gts)))
+        if self.iou_type == "keypoints":
+            return compute_oks(
+                np.array([d["keypoints"] for d in dts], np.float64),
+                gts, self.kpt_sigmas)
         crowd = [int(g.get("iscrowd", 0)) for g in gts]
         if self.iou_type == "bbox":
             d = np.array([x["bbox"] for x in dts], np.float64)
@@ -240,10 +327,11 @@ class COCOEval:
         g_rles = [self.gt.ann_rle(x) for x in gts]
         return rle_lib.iou(d_rles, g_rles, crowd)
 
-    def per_category_ap(self, max_det: int = 100) -> Dict[str, float]:
+    def per_category_ap(self, max_det: Optional[int] = None) -> Dict[str, float]:
         """Per-category AP table (reference coco_evaluation.py:345-356)."""
-        a = list(AREA_RNG.keys()).index("all")
-        m = MAX_DETS.index(max_det)
+        a = list(self.area_rng.keys()).index("all")
+        m = self.max_dets.index(max_det if max_det is not None
+                                else self.max_dets[-1])
         out = {}
         for k, cat_id in enumerate(self.cat_ids):
             p = self.precision[:, :, k, a, m]
@@ -254,8 +342,8 @@ class COCOEval:
 
     def _summarize(self) -> Dict[str, float]:
         def s_ap(iou_thr=None, area="all", max_det=100):
-            a = list(AREA_RNG.keys()).index(area)
-            m = MAX_DETS.index(max_det)
+            a = list(self.area_rng.keys()).index(area)
+            m = self.max_dets.index(max_det)
             p = self.precision[:, :, :, a, m]
             if iou_thr is not None:
                 t = np.where(np.isclose(IOU_THRS, iou_thr))[0]
@@ -264,12 +352,22 @@ class COCOEval:
             return float(np.mean(p)) * 100 if p.size else float("nan")
 
         def s_ar(area="all", max_det=100):
-            a = list(AREA_RNG.keys()).index(area)
-            m = MAX_DETS.index(max_det)
+            a = list(self.area_rng.keys()).index(area)
+            m = self.max_dets.index(max_det)
             r = self.recall[:, :, a, m]
             r = r[r > -1]
             return float(np.mean(r)) * 100 if r.size else float("nan")
 
+        if self.iou_type == "keypoints":
+            # keypoint summary metrics (reference coco_evaluation.py:310)
+            return {
+                "AP": s_ap(max_det=20),
+                "AP50": s_ap(0.5, max_det=20),
+                "AP75": s_ap(0.75, max_det=20),
+                "APm": s_ap(area="medium", max_det=20),
+                "APl": s_ap(area="large", max_det=20),
+                "AR20": s_ar(max_det=20),
+            }
         return {
             "AP": s_ap(),
             "AP50": s_ap(0.5),
@@ -386,9 +484,11 @@ class COCOEvaluator:
     for score in segm scoring (:551-563)."""
 
     def __init__(self, gt: COCOGt, tasks=("bbox", "segm"),
-                 category_id_map: Optional[Dict[int, int]] = None):
+                 category_id_map: Optional[Dict[int, int]] = None,
+                 kpt_oks_sigmas: Optional[Sequence[float]] = None):
         self.gt = gt
         self.tasks = tasks
+        self.kpt_oks_sigmas = kpt_oks_sigmas
         self.predictions: List[Dict] = []
         self.proposals: Dict[int, Dict[str, np.ndarray]] = {}
         # contiguous class index -> dataset category id
@@ -432,6 +532,14 @@ class COCOEvaluator:
             }
             if masks is not None and "segm" in self.tasks:
                 rec["segmentation"] = rle_lib.to_coco(rle_lib.encode(masks[i]))
+            kpts = outputs.get("pred_keypoints")
+            if kpts is not None and "keypoints" in self.tasks:
+                # predictions are float coordinates; COCO annotations are
+                # pixel indices -> subtract 0.5 from x, y
+                # (reference instances_to_coco_json, :402-427)
+                kp = np.asarray(kpts[i], np.float64).copy()
+                kp[:, :2] -= 0.5
+                rec["keypoints"] = kp.flatten().tolist()
             self.predictions.append(rec)
 
     def evaluate(self) -> Dict[str, Dict[str, float]]:
@@ -446,8 +554,10 @@ class COCOEvaluator:
                     # the fork's substitution: segm scored by mask_score
                     q["score"] = q.get("mask_score", q["score"])
                     q.pop("bbox", None)
+                if task == "keypoints" and "keypoints" not in q:
+                    continue
                 preds.append(q)
-            ev = COCOEval(self.gt, task)
+            ev = COCOEval(self.gt, task, kpt_sigmas=self.kpt_oks_sigmas)
             res = ev.evaluate(preds)
             # per-category AP keys, matching detectron2's
             # _derive_coco_results (reference coco_evaluation.py:345-356)

@@ -37,6 +37,7 @@ def evaluate_dataset(
     gt=None,
     progress_every: int = 50,
     pipeline_depth: int = 2,
+    kpt_oks_sigmas=None,
 ):
     """Evaluate ``model`` over a COCO-format dataset one image at a time.
 
@@ -78,7 +79,8 @@ def evaluate_dataset(
         with open(ann) as f:
             gt = COCOGt(json.load(f))
     evaluator = COCOEvaluator(gt, tasks=tasks,
-                              category_id_map=ds.contiguous_to_cat)
+                              category_id_map=ds.contiguous_to_cat,
+                              kpt_oks_sigmas=kpt_oks_sigmas)
 
     ids = ds.ids[:limit] if limit else ds.ids
 
@@ -98,7 +100,9 @@ def evaluate_dataset(
         valid = out_b.valid
         tup = (out_b.locations[valid], out_b.mask_scores[valid],
                out_b.pred_boxes[valid], out_b.pred_classes[valid],
-               out_b.pred_masks[valid], out_b.scores[valid])
+               out_b.pred_masks[valid], out_b.scores[valid],
+               out_b.pred_keypoints[valid]
+               if out_b.pred_keypoints is not None else None)
         wrapped = single_wrap_outputs(tup)
         h, w = pre["original_hw"]
         post = detector_postprocess(wrapped, h, w, short=pre["short"],

@@ -454,3 +454,139 @@ def test_event_storage(tmp_path):
     assert lines[0]["loss"] == 1.0 and lines[1]["acc"] == 0.9
     assert st.history("loss") == [(0, 1.0), (1, 0.5)]
     assert st.median("loss") == 1.0
+
+
+# ------------------------------------------------------------- keypoints
+def _kpt_gt(n_img=1):
+    """Synthetic keypoint dataset: person-style 17-keypoint gts."""
+    rng = np.random.RandomState(0)
+    images, anns = [], []
+    aid = 1
+    for i in range(1, n_img + 1):
+        images.append({"id": i, "height": 200, "width": 200})
+        for k in range(2):
+            x0, y0, w, h = 20 + 80 * k, 30 + 60 * k, 60, 90
+            kps = []
+            for j in range(17):
+                kps += [x0 + rng.rand() * w, y0 + rng.rand() * h, 2]
+            anns.append({
+                "id": aid, "image_id": i, "category_id": 1, "iscrowd": 0,
+                "bbox": [x0, y0, w, h], "area": w * h,
+                "keypoints": kps, "num_keypoints": 17,
+            })
+            aid += 1
+    return COCOGt({"images": images, "annotations": anns,
+                   "categories": [{"id": 1, "name": "person"}]})
+
+
+def test_compute_oks_hand_values():
+    from centermask2_tpu.evaluation.coco_eval import (COCO_KPT_SIGMAS,
+                                                      compute_oks)
+
+    gt = {"keypoints": [10.0, 10.0, 2] + [0.0, 0.0, 0] * 16,
+          "bbox": [0.0, 0.0, 20.0, 20.0], "area": 400.0}
+    # perfect prediction on the one visible keypoint -> OKS exp(0) = 1
+    dt = np.array([[10.0, 10.0, 1.0] + [50.0, 50.0, 1.0] * 16])
+    oks = compute_oks(dt, [gt], COCO_KPT_SIGMAS)
+    assert oks[0, 0] == pytest.approx(1.0)
+    # known offset: e = d^2 / var / (2*area); OKS = exp(-e)
+    d = 4.0
+    dt2 = np.array([[10.0 + d, 10.0, 1.0] + [0.0, 0.0, 0.0] * 16])
+    var = (COCO_KPT_SIGMAS[0] * 2) ** 2
+    expected = np.exp(-(d * d) / var / (2 * 400.0))
+    oks2 = compute_oks(dt2, [gt], COCO_KPT_SIGMAS)
+    assert oks2[0, 0] == pytest.approx(expected, rel=1e-9)
+    # no visible gt keypoints: distance measured to the doubled bbox
+    gt0 = dict(gt, keypoints=[10.0, 10.0, 0] + [0.0, 0.0, 0] * 16)
+    inside = np.array([[15.0, 15.0, 1.0] * 17])
+    assert compute_oks(inside, [gt0], COCO_KPT_SIGMAS)[0, 0] \
+        == pytest.approx(1.0)
+
+
+def test_keypoint_eval_perfect_ap100():
+    gt = _kpt_gt()
+    dets = []
+    for img_id, anns in gt.img_to_anns.items():
+        for ann in anns:
+            dets.append({"image_id": img_id, "category_id": 1,
+                         "keypoints": list(ann["keypoints"]), "score": 0.9})
+    res = COCOEval(gt, "keypoints").evaluate(dets)
+    assert res["AP"] == pytest.approx(100.0)
+    assert res["AP50"] == pytest.approx(100.0)
+    assert set(res) == {"AP", "AP50", "AP75", "APm", "APl", "AR20"}
+
+
+def test_keypoint_eval_missed_gives_half_ap():
+    gt = _kpt_gt()
+    dets = []
+    for img_id, anns in gt.img_to_anns.items():
+        ann = anns[0]  # predict only the first of two gts
+        dets.append({"image_id": img_id, "category_id": 1,
+                     "keypoints": list(ann["keypoints"]), "score": 0.9})
+    res = COCOEval(gt, "keypoints").evaluate(dets)
+    # precision 1.0 up to recall 0.5 -> 101-point AP = 51/101
+    assert res["AP"] == pytest.approx(100.0 * 51 / 101, abs=0.1)
+
+
+def test_keypoint_eval_jittered_between():
+    """A moderately jittered prediction scores below a perfect one but
+    above a badly off one (OKS grading)."""
+    gt = _kpt_gt()
+
+    def run(noise):
+        rng = np.random.RandomState(3)
+        dets = []
+        for img_id, anns in gt.img_to_anns.items():
+            for ann in anns:
+                kp = np.asarray(ann["keypoints"], np.float64).reshape(-1, 3)
+                kp[:, :2] += rng.randn(17, 2) * noise
+                dets.append({"image_id": img_id, "category_id": 1,
+                             "keypoints": kp.flatten().tolist(),
+                             "score": 0.9})
+        return COCOEval(gt, "keypoints").evaluate(dets)["AP"]
+
+    perfect, mid, bad = run(0.0), run(4.0), run(40.0)
+    assert perfect == pytest.approx(100.0)
+    assert perfect > mid > bad
+
+
+def test_keypoint_gt_without_annotated_kpts_ignored():
+    gt = _kpt_gt()
+    # zero out one gt's keypoints: it must be ignored, so a perfect
+    # prediction of the OTHER gt still yields AP 100
+    ann0 = gt.img_to_anns[1][0]
+    ann0["keypoints"] = [0.0, 0.0, 0] * 17
+    ann0["num_keypoints"] = 0
+    ann1 = gt.img_to_anns[1][1]
+    dets = [{"image_id": 1, "category_id": 1,
+             "keypoints": list(ann1["keypoints"]), "score": 0.9}]
+    res = COCOEval(gt, "keypoints").evaluate(dets)
+    assert res["AP"] == pytest.approx(100.0)
+
+
+def test_evaluator_keypoints_task_end_to_end():
+    """COCOEvaluator with the keypoints task: process() flattens
+    pred_keypoints with the -0.5 pixel-index shift and evaluate()
+    produces the keypoint metrics block."""
+    gt = _kpt_gt()
+    ev = COCOEvaluator(gt, tasks=("bbox", "keypoints"),
+                       category_id_map={0: 1})
+    for img_id, anns in gt.img_to_anns.items():
+        kps, boxes = [], []
+        for ann in anns:
+            kp = np.asarray(ann["keypoints"], np.float32).reshape(17, 3).copy()
+            kp[:, 2] = 0.7  # head emits probabilities in column 2
+            kp[:, :2] += 0.5  # model coords are +0.5 vs annotation indices
+            kps.append(kp)
+            x, y, w, h = ann["bbox"]
+            boxes.append([x, y, x + w, y + h])
+        ev.process(img_id, {
+            "pred_boxes": np.asarray(boxes, np.float32),
+            "scores": np.full(len(boxes), 0.9, np.float32),
+            "pred_classes": np.zeros(len(boxes), np.int64),
+            "mask_scores": np.full(len(boxes), 0.9, np.float32),
+            "pred_keypoints": np.stack(kps),
+        })
+    res = ev.evaluate()
+    assert res["keypoints"]["AP"] == pytest.approx(100.0)
+    assert res["bbox"]["AP"] == pytest.approx(100.0)

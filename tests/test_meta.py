@@ -206,3 +206,44 @@ def test_uint8_s2d_input_bit_identical():
         a = np.asarray(getattr(out_f, name))
         b = np.asarray(getattr(out_u, name))
         assert np.array_equal(a, b), name
+
+
+def test_keypoint_infer_to_eval_pipeline():
+    """KEYPOINT_ON end to end: model inference -> wrap -> postprocess
+    (keypoint rescale) -> COCOEvaluator keypoints task produces finite
+    metrics (VERDICT r2 item 4)."""
+    from centermask2_tpu.data import detector_postprocess, single_wrap_outputs
+    from centermask2_tpu.evaluation import COCOEvaluator, COCOGt
+
+    model = tiny_model(keypoint_on=True, mask_on=False, maskiou_on=False)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 128, 128, 3).astype(np.float32) * 30)
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+
+    out_b = jax.tree.map(lambda a: a[0], out)
+    valid = np.asarray(out_b.valid)
+    tup = (out_b.locations[valid], out_b.mask_scores[valid],
+           out_b.pred_boxes[valid], out_b.pred_classes[valid],
+           out_b.pred_masks[valid], out_b.scores[valid],
+           out_b.pred_keypoints[valid])
+    wrapped = single_wrap_outputs(tup)
+    assert "pred_keypoints" in wrapped
+    post = detector_postprocess(wrapped, 100, 100)
+    n = len(post["pred_boxes"])
+    assert post["pred_keypoints"].shape == (n, 17, 3)
+
+    gt = COCOGt({
+        "images": [{"id": 1, "height": 100, "width": 100}],
+        "annotations": [{
+            "id": 1, "image_id": 1, "category_id": 1, "iscrowd": 0,
+            "bbox": [10, 10, 50, 50], "area": 2500,
+            "keypoints": [20.0, 20.0, 2] * 17, "num_keypoints": 17,
+        }],
+        "categories": [{"id": 1, "name": "person"}],
+    })
+    ev = COCOEvaluator(gt, tasks=("keypoints",),
+                       category_id_map={c: 1 for c in range(80)})
+    ev.process(1, post)
+    res = ev.evaluate()
+    assert np.isfinite(res["keypoints"]["AP"]) or n == 0

@@ -140,13 +140,15 @@ def main():
             fixed_size=fixed, min_size=cfg.INPUT.MIN_SIZE_TEST,
             max_size=cfg.INPUT.MAX_SIZE_TEST,
             tasks=tuple(args.tasks.split(",")), limit=args.limit, fn=fn,
-            ds=ds, gt=gt, pipeline_depth=max(2, args.batch_size))
+            ds=ds, gt=gt, pipeline_depth=max(2, args.batch_size),
+            kpt_oks_sigmas=cfg.TEST.KEYPOINT_OKS_SIGMAS)
         finish(args, results, evaluator, avg_ms)
         return
 
     evaluator = COCOEvaluator(
         gt, tasks=tuple(args.tasks.split(",")),
-        category_id_map=ds.contiguous_to_cat)
+        category_id_map=ds.contiguous_to_cat,
+        kpt_oks_sigmas=cfg.TEST.KEYPOINT_OKS_SIGMAS)
     total_time = 0.0
     n_done = 0
 
@@ -154,7 +156,9 @@ def main():
         valid = out_b.valid
         tup = (out_b.locations[valid], out_b.mask_scores[valid],
                out_b.pred_boxes[valid], out_b.pred_classes[valid],
-               out_b.pred_masks[valid], out_b.scores[valid])
+               out_b.pred_masks[valid], out_b.scores[valid],
+               out_b.pred_keypoints[valid]
+               if out_b.pred_keypoints is not None else None)
         wrapped = single_wrap_outputs(tup)
         h, w = pre["original_hw"]
         post = detector_postprocess(wrapped, h, w, short=pre["short"],
