@@ -35,6 +35,14 @@ CITYSCAPES_INSTANCE_CLASSES = {
 }
 TRAIN_ID_TO_LABEL_ID = {t: l for t, l in CITYSCAPES_INSTANCE_CLASSES.values()}
 
+# Semantic-segmentation train ids (cityscapesscripts trainId2label): the
+# 19 eval classes in official order. Distinct from the 8-class INSTANCE
+# train ids above — the semseg evaluator must use THIS table.
+SEMSEG_TRAIN_ID_TO_LABEL_ID = {
+    0: 7, 1: 8, 2: 11, 3: 12, 4: 13, 5: 17, 6: 19, 7: 20, 8: 21, 9: 22,
+    10: 23, 11: 24, 12: 25, 13: 26, 14: 27, 15: 28, 16: 31, 17: 32, 18: 33,
+}
+
 
 class CityscapesInstanceEvaluator:
     """Writes {basename}.txt + per-instance mask pngs
@@ -115,7 +123,7 @@ class CityscapesSemSegEvaluator:
         from PIL import Image
 
         basename = os.path.splitext(os.path.basename(file_name))[0]
-        mapping = train_id_to_label_id or TRAIN_ID_TO_LABEL_ID
+        mapping = train_id_to_label_id or SEMSEG_TRAIN_ID_TO_LABEL_ID
         out = np.full(sem_seg.shape, 255, np.uint8)
         for t, l in mapping.items():
             out[sem_seg == t] = l
@@ -124,16 +132,18 @@ class CityscapesSemSegEvaluator:
         self._written.append(path)
 
     def evaluate(self, gt_dir: Optional[str] = None) -> Dict[str, float]:
-        try:
-            import cityscapesscripts.evaluation.evalPixelLevelSemanticLabeling as ev
-        except ImportError:
+        """Score the written label pngs with the BUILT-IN official
+        pixel-level algorithm (evaluation/cityscapes_semseg.py — class
+        mIoU, category IoU_sup, and the instance-weighted iIoU variants
+        when instanceIds files exist). Returns the reference's metric
+        block (cityscapes_evaluation.py:192-197) with no
+        cityscapesscripts dependency."""
+        if gt_dir is None:
             return {
-                "note": "cityscapesscripts unavailable; predictions written "
-                        f"to {self.output_dir} for offline scoring",
+                "note": "no gt_dir given; predictions written to "
+                        f"{self.output_dir} for offline scoring",
                 "num_images": len(self._written),
             }
-        ev.args.predictionPath = os.path.abspath(self.output_dir)
-        gt_images = glob.glob(os.path.join(gt_dir, "*", "*_gtFine_labelIds.png"))
-        preds = [ev.getPrediction(ev.args, gt) for gt in gt_images]
-        results = ev.evaluateImgLists(preds, gt_images, ev.args)
-        return {"IoU": results["averageScoreClasses"] * 100}
+        from .cityscapes_semseg import evaluate_semseg_dirs
+
+        return evaluate_semseg_dirs(self.output_dir, gt_dir)

@@ -590,3 +590,90 @@ def test_evaluator_keypoints_task_end_to_end():
     res = ev.evaluate()
     assert res["keypoints"]["AP"] == pytest.approx(100.0)
     assert res["bbox"]["AP"] == pytest.approx(100.0)
+
+
+# ------------------------------------------------------ cityscapes semseg
+def test_semseg_perfect_and_hand_computed_iou():
+    from centermask2_tpu.evaluation.cityscapes_semseg import score_semseg
+
+    gt = np.full((20, 30), 7, np.uint8)  # road
+    gt[:, 15:] = 11  # building
+    res = score_semseg([(gt.copy(), gt)])
+    assert res["IoU"] == pytest.approx(100.0)
+    assert res["IoU_sup"] == pytest.approx(100.0)
+    assert res["IoU-road"] == pytest.approx(100.0)
+
+    # half the building pixels predicted road:
+    # road IoU = 300/(300+150) = 2/3; building = 150/300 = 1/2
+    pred = gt.copy()
+    pred[:10, 15:] = 7
+    res = score_semseg([(pred, gt)])
+    assert res["IoU-road"] == pytest.approx(100 * 300 / 450)
+    assert res["IoU-building"] == pytest.approx(50.0)
+    assert res["IoU"] == pytest.approx(100 * (300 / 450 + 0.5) / 2)
+
+
+def test_semseg_void_gt_not_penalized():
+    from centermask2_tpu.evaluation.cityscapes_semseg import score_semseg
+
+    gt = np.full((10, 10), 7, np.uint8)
+    gt[:, :5] = 0  # unlabeled (void)
+    pred = np.full((10, 10), 7, np.uint8)  # predicts road everywhere
+    res = score_semseg([(pred, gt)])
+    # predictions on void gt are not false positives
+    assert res["IoU-road"] == pytest.approx(100.0)
+
+
+def test_semseg_category_pools_member_confusion():
+    from centermask2_tpu.evaluation.cityscapes_semseg import score_semseg
+
+    gt = np.full((10, 10), 12, np.uint8)  # wall
+    pred = np.full((10, 10), 11, np.uint8)  # predicted building
+    res = score_semseg([(pred, gt)])
+    assert res["IoU-wall"] == pytest.approx(0.0)
+    # both classes are 'construction': confusion inside the category is tp
+    assert res["IoU_sup"] == pytest.approx(100.0)
+
+
+def test_semseg_iiou_weights_instances_equally():
+    from centermask2_tpu.evaluation.cityscapes_semseg import score_semseg
+
+    # two person instances: 900 px matched, 100 px missed entirely
+    gt = np.full((40, 40), 7, np.uint8)
+    inst = np.full((40, 40), 7, np.int64)
+    gt[:30, :30] = 24
+    inst[:30, :30] = 24000
+    gt[:10, 30:40] = 24
+    inst[:10, 30:40] = 24001
+    pred = np.full((40, 40), 7, np.uint8)
+    pred[:30, :30] = 24  # only the big instance found
+    res = score_semseg([(pred, gt)], [(pred, inst)])
+    # plain IoU = 900/1000; iIoU weights both instances equally -> 1/2
+    assert res["IoU-person"] == pytest.approx(90.0)
+    assert res["iIoU"] == pytest.approx(50.0)
+    assert res["iIoU_sup"] == pytest.approx(50.0)
+
+
+def test_cityscapes_semseg_evaluator_end_to_end(tmp_path):
+    from PIL import Image
+
+    from centermask2_tpu.evaluation.cityscapes_eval import \
+        CityscapesSemSegEvaluator
+
+    gt_dir = tmp_path / "gtFine" / "val" / "city"
+    gt_dir.mkdir(parents=True)
+    out_dir = tmp_path / "preds"
+
+    # train-id map: evaluator converts trainIds -> labelIds
+    gt = np.full((16, 16), 7, np.uint8)
+    gt[8:, :] = 23  # sky
+    Image.fromarray(gt).save(
+        gt_dir / "city_000000_000019_gtFine_labelIds.png")
+
+    ev = CityscapesSemSegEvaluator(str(out_dir))
+    sem = np.zeros((16, 16), np.int64)  # trainId 0 = road
+    sem[8:, :] = 10  # trainId 10 = sky
+    ev.process("city_000000_000019_leftImg8bit.png", sem)
+    res = ev.evaluate(str(tmp_path / "gtFine" / "val"))
+    assert res["IoU"] == pytest.approx(100.0)
+    assert res["IoU_sup"] == pytest.approx(100.0)
