@@ -169,9 +169,14 @@ def train_batches(
     epochs: Optional[int] = None,
     workers: int = 0,
     random_flip: str = "horizontal",  # INPUT.RANDOM_FLIP: horizontal|none
+    sampling: str = "choice",  # INPUT.MIN_SIZE_TRAIN_SAMPLING: choice|range
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Infinite (or epochs-bounded) shuffled batch iterator with
     multi-scale jitter + random horizontal flip (INPUT.MIN_SIZE_TRAIN).
+
+    ``sampling`` follows d2 ResizeShortestEdge: "choice" draws the short
+    edge from ``min_sizes``; "range" draws uniformly from
+    [min(min_sizes), max(min_sizes)].
 
     ``workers > 0`` decodes/resizes the batch's images on a thread pool
     (DATALOADER.NUM_WORKERS — the reference's multi-worker DataLoader);
@@ -179,6 +184,7 @@ def train_batches(
     bit-identical to workers=0 regardless of thread timing.
     """
     assert random_flip in ("horizontal", "none"), random_flip
+    assert sampling in ("choice", "range"), sampling
     pool = None
     if workers > 0:
         from concurrent.futures import ThreadPoolExecutor
@@ -188,7 +194,8 @@ def train_batches(
         yield from _train_batches_inner(
             ds, batch_size, min_sizes=min_sizes, max_size=max_size,
             pad_to=pad_to, max_gt=max_gt, patch_size=patch_size, seed=seed,
-            epochs=epochs, random_flip=random_flip, pool=pool)
+            epochs=epochs, random_flip=random_flip, sampling=sampling,
+            pool=pool)
     finally:
         if pool is not None:
             pool.shutdown(wait=False)
@@ -196,15 +203,22 @@ def train_batches(
 
 def _train_batches_inner(ds, batch_size, *, min_sizes, max_size, pad_to,
                          max_gt, patch_size, seed, epochs, random_flip,
-                         pool):
+                         sampling, pool):
     rng = np.random.RandomState(seed)
+    lo, hi = int(min(min_sizes)), int(max(min_sizes))
+
+    def draw_short_edge():
+        if sampling == "range":  # d2: uniform over [lo, hi]
+            return int(rng.randint(lo, hi + 1))
+        return int(rng.choice(min_sizes))
+
     epoch = 0
     while epochs is None or epoch < epochs:
         order = rng.permutation(ds.ids)
         for start in range(0, len(order) - batch_size + 1, batch_size):
             jobs = [
                 dict(img_id=int(img_id),
-                     short_edge=int(rng.choice(min_sizes)),
+                     short_edge=draw_short_edge(),
                      hflip=(random_flip == "horizontal"
                             and bool(rng.rand() < 0.5)))
                 for img_id in order[start:start + batch_size]

@@ -69,9 +69,11 @@ def _top_k(x: jnp.ndarray, k: int, approx: bool) -> Tuple[jnp.ndarray, jnp.ndarr
     if n > 4 * k and n > 64_000:
         # exact split-merge: XLA's recall-1.0 fast path falls back to the
         # full-sort TopK custom call above ~64k (profiled 0.62 ms at 80k),
-        # but top-k of each ~40k chunk IS fast-pathed; the global top-k is
-        # exactly the top-k of the per-chunk top-k union, and flattening
-        # chunks in order preserves lower-index-first tie breaking.
+        # but top-k of each ~40k chunk IS fast-pathed; the global top-k
+        # VALUES are exactly the top-k of the per-chunk top-k union.
+        # (Index tie order is NOT lax.top_k's lower-index-first — see the
+        # exactness note below; tests/test_tpu_topk.py pins the real
+        # guarantee on hardware.)
         C = 40_000
         S = -(-n // C)
         pad = S * C - n
@@ -86,9 +88,14 @@ def _top_k(x: jnp.ndarray, k: int, approx: bool) -> Tuple[jnp.ndarray, jnp.ndarr
         return vk, jnp.take_along_axis(iflat, j, axis=-1)
     if n > 4 * k:
         # exact via the TPU PartialReduce path: recall_target=1.0 returns
-        # bit-identical (values AND indices) results to lax.top_k at these
-        # shapes, measured, while lowering to the faster approx-top-k
-        # kernel instead of the full-sort TopK custom call
+        # bit-identical VALUES to lax.top_k at these shapes (and
+        # identical indices on distinct-valued inputs), while lowering to
+        # the faster approx-top-k kernel instead of the full-sort TopK
+        # custom call. Measured caveat (v5e, tests/test_tpu_topk.py):
+        # among EXACTLY-equal values the index order differs from
+        # lax.top_k's lower-index-first. The decode is insensitive —
+        # masked (-1) fill entries fail the `> 0` validity check, and
+        # reordering genuinely tied detections is AP-neutral.
         return jax.lax.approx_max_k(x, k, recall_target=1.0)
     return jax.lax.top_k(x, k)
 

@@ -135,6 +135,10 @@ class CenterMask(nn.Module):
     maskiou_num_conv: int = 4
     num_keypoints: int = 17
     keypoint_conv_dims: Sequence[int] = (512,) * 8
+    # reference BaseKeypointRCNNHead (keypoint_head.py:126-133): loss
+    # scale + normalizer choice (visible count vs fixed per-image count)
+    keypoint_loss_weight: float = 1.0
+    keypoint_normalize_by_visible: bool = True
     deformable_groups: int = 1
     # training capacities
     batch_size_per_image: int = 512
@@ -553,8 +557,17 @@ class CenterMask(nn.Module):
             S = kp_logits.shape[1]
             heat_idx, kp_valid = keypoints_to_heatmap(kp_of_fg, flat_fg_boxes, S)
             kp_valid = kp_valid & flat_fg_valid[:, None]
-            losses["loss_keypoint"] = keypoint_rcnn_loss(
-                kp_logits.astype(jnp.float32), heat_idx, kp_valid)
+            # reference keypoint_head.py:149-161: normalize by visible
+            # keypoints, or by num_images * K * batch_size * pos_fraction
+            normalizer = None
+            if not self.keypoint_normalize_by_visible:
+                normalizer = float(
+                    B * self.num_keypoints * self.batch_size_per_image
+                    * self.positive_fraction)
+            losses["loss_keypoint"] = self.keypoint_loss_weight * \
+                keypoint_rcnn_loss(
+                    kp_logits.astype(jnp.float32), heat_idx, kp_valid,
+                    normalizer=normalizer)
         return losses
 
 
@@ -657,7 +670,10 @@ def build_centermask(cfg: CfgNode) -> CenterMask:
         with_modulated_dcn=cfg.MODEL.VOVNET.WITH_MODULATED_DCN,
         pre_nms_thresh_test=cfg.MODEL.FCOS.INFERENCE_TH_TEST,
         pre_nms_topk_test=cfg.MODEL.FCOS.PRE_NMS_TOPK_TEST,
-        post_nms_topk_test=cfg.MODEL.FCOS.POST_NMS_TOPK_TEST,
+        # TEST.DETECTIONS_PER_IMAGE is detectron2's detection cap; it
+        # binds here when tighter than the FCOS post-NMS top-k
+        post_nms_topk_test=min(cfg.MODEL.FCOS.POST_NMS_TOPK_TEST,
+                               cfg.TEST.DETECTIONS_PER_IMAGE),
         pre_nms_thresh_train=cfg.MODEL.FCOS.INFERENCE_TH_TRAIN,
         pre_nms_topk_train=cfg.MODEL.FCOS.PRE_NMS_TOPK_TRAIN,
         post_nms_topk_train=cfg.MODEL.FCOS.POST_NMS_TOPK_TRAIN,
@@ -683,6 +699,9 @@ def build_centermask(cfg: CfgNode) -> CenterMask:
         maskiou_num_conv=cfg.MODEL.ROI_MASKIOU_HEAD.NUM_CONV,
         num_keypoints=cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS,
         keypoint_conv_dims=tuple(cfg.MODEL.ROI_KEYPOINT_HEAD.CONV_DIMS),
+        keypoint_loss_weight=cfg.MODEL.ROI_KEYPOINT_HEAD.LOSS_WEIGHT,
+        keypoint_normalize_by_visible=(
+            cfg.MODEL.ROI_KEYPOINT_HEAD.NORMALIZE_LOSS_BY_VISIBLE_KEYPOINTS),
         deformable_groups=cfg.MODEL.VOVNET.DEFORMABLE_GROUPS,
         roi_iou_thresholds=tuple(cfg.MODEL.ROI_HEADS.IOU_THRESHOLDS),
         roi_iou_labels=tuple(cfg.MODEL.ROI_HEADS.IOU_LABELS),

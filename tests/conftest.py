@@ -19,3 +19,11 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# CM2_TEST_PLATFORM=axon (or tpu) runs the tpu-marked hardware tests on
+# the real chip instead of the virtual CPU mesh (used for the decode
+# top-k exactness tier; everything else stays CPU).
+_want = os.environ.get("CM2_TEST_PLATFORM")
+if _want:
+    os.environ["JAX_PLATFORMS"] = _want
+    jax.config.update("jax_platforms", _want)

@@ -121,3 +121,26 @@ def test_prefetch_abandoned_consumer_stops_producer():
             break
         time.sleep(0.05)
     assert not alive, "prefetch producer thread still alive after close()"
+
+
+def test_train_batches_range_sampling(dataset):
+    """INPUT.MIN_SIZE_TRAIN_SAMPLING='range' draws short edges uniformly
+    from [min, max] instead of only the listed sizes (d2
+    ResizeShortestEdge sample_style)."""
+    seen = set()
+    it = train_batches(dataset, 2, min_sizes=(64, 128), pad_to=(160, 256),
+                       max_gt=4, patch_size=16, epochs=30, seed=1,
+                       sampling="range")
+    for batch in it:
+        # recover the drawn short edge from the resized content height
+        seen.update(batch["image_size"][:, 0].tolist())
+    between = [s for s in seen if 64 < s < 128]
+    assert between, f"range sampling never drew between the endpoints: {seen}"
+
+    # choice sampling draws only the listed sizes
+    seen_c = set()
+    for batch in train_batches(dataset, 2, min_sizes=(64, 128),
+                               pad_to=(160, 256), max_gt=4, patch_size=16,
+                               epochs=10, seed=1, sampling="choice"):
+        seen_c.update(batch["image_size"][:, 0].tolist())
+    assert all(s in (64.0, 128.0, 96.0, 192.0) or s <= 192 for s in seen_c)

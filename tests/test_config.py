@@ -69,3 +69,49 @@ def test_tuple_list_coercion():
     cfg = get_cfg()
     cfg.merge_from_list(["SOLVER.STEPS", "(210000, 250000)"])
     assert tuple(cfg.SOLVER.STEPS) == (210000, 250000)
+
+
+def test_detections_per_image_caps_topk():
+    """TEST.DETECTIONS_PER_IMAGE binds when tighter than POST_NMS_TOPK."""
+    from centermask2_tpu.config import get_cfg
+    from centermask2_tpu.models import build_centermask
+
+    cfg = get_cfg()
+    assert build_centermask(cfg).post_nms_topk_test == \
+        min(cfg.MODEL.FCOS.POST_NMS_TOPK_TEST, cfg.TEST.DETECTIONS_PER_IMAGE)
+    cfg.TEST.DETECTIONS_PER_IMAGE = 7
+    assert build_centermask(cfg).post_nms_topk_test == 7
+
+
+def test_keypoint_loss_config_wiring():
+    """ROI_KEYPOINT_HEAD.LOSS_WEIGHT and
+    NORMALIZE_LOSS_BY_VISIBLE_KEYPOINTS reach the model."""
+    from centermask2_tpu.config import get_cfg
+    from centermask2_tpu.models import build_centermask
+
+    cfg = get_cfg()
+    cfg.MODEL.ROI_KEYPOINT_HEAD.LOSS_WEIGHT = 2.5
+    cfg.MODEL.ROI_KEYPOINT_HEAD.NORMALIZE_LOSS_BY_VISIBLE_KEYPOINTS = False
+    m = build_centermask(cfg)
+    assert m.keypoint_loss_weight == 2.5
+    assert m.keypoint_normalize_by_visible is False
+
+
+def test_keypoint_loss_normalizer_semantics():
+    """keypoint_rcnn_loss: explicit normalizer divides by the fixed
+    count; None divides by the visible count (reference
+    keypoint_head.py:81-84)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from centermask2_tpu.models.roi.keypoint_head import keypoint_rcnn_loss
+
+    rng = np.random.RandomState(0)
+    R, S, K = 3, 8, 4
+    logits = jnp.asarray(rng.randn(R, S, S, K).astype(np.float32))
+    targets = jnp.asarray(rng.randint(0, S * S, (R, K)))
+    valid = jnp.asarray(np.ones((R, K), bool))
+    by_visible = float(keypoint_rcnn_loss(logits, targets, valid))
+    fixed = float(keypoint_rcnn_loss(logits, targets, valid,
+                                     normalizer=float(2 * R * K)))
+    assert fixed == pytest.approx(by_visible / 2, rel=1e-5)

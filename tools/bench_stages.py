@@ -1,6 +1,8 @@
 #!/usr/bin/env python
 """Per-stage latency breakdown of the inference pipeline on the local
-accelerator. Chained-dependency timing (see bench.py)."""
+accelerator, with a per-stage roofline table (incremental HLO flops /
+incremental ms / % of chip peak) so "the conv core is at its tiling
+limit" is a checkable claim. Chained-dependency timing (see bench.py)."""
 
 import os
 import sys
@@ -66,8 +68,20 @@ def main():
             return acc + f["p7"][0, :1, 0, 0].astype(jnp.float32)
         return jax.lax.fori_loop(0, n, body, jnp.zeros((1,), jnp.float32))
 
+    def stage_flops(fn):
+        try:
+            cost = jax.jit(fn).lower(x).compile().cost_analysis()
+            if isinstance(cost, list):
+                cost = cost[0]
+            return float(cost.get("flops", 0.0)) if cost else 0.0
+        except Exception:
+            return 0.0
+
+    stages = []  # (name, cumulative_ms, cumulative_flops)
+
     t = timed(jax.jit(chain_feats), x)
     print(f"backbone+fpn: {t * 1000:.2f} ms")
+    stages.append(("backbone+fpn", t, stage_flops(feats_fn)))
 
     # stage 2: + FCOS head (raw)
     def head_fn(im):
@@ -84,6 +98,7 @@ def main():
 
     t = timed(jax.jit(chain_head), x)
     print(f"+fcos head: {t * 1000:.2f} ms")
+    stages.append(("fcos head", t, stage_flops(head_fn)))
 
     # stage 3: + decode (topk+nms)
     def dec_fn(im):
@@ -104,6 +119,7 @@ def main():
 
     t = timed(jax.jit(chain_dec), x)
     print(f"+decode(topk+nms): {t * 1000:.2f} ms")
+    stages.append(("decode", t, stage_flops(dec_fn)))
 
     # stage 4: full
     def full_fn(im):
@@ -117,6 +133,29 @@ def main():
 
     t = timed(jax.jit(chain_full), x)
     print(f"full pipeline: {t * 1000:.2f} ms")
+    stages.append(("roi+mask+maskiou", t, stage_flops(full_fn)))
+
+    # roofline table: per-stage INCREMENTS over the previous cumulative
+    # stage, against the chip's bf16 peak
+    from centermask2_tpu.utils.measures import chip_peak_flops
+
+    peak = chip_peak_flops()
+    print()
+    print(f"{'stage':>18s} {'ms':>7s} {'GFLOP':>8s} {'TFLOP/s':>8s} "
+          f"{'%peak':>6s}")
+    prev_t = prev_f = 0.0
+    for name, ct, cf in stages:
+        dt_s, df = ct - prev_t, cf - prev_f
+        prev_t, prev_f = ct, cf
+        if dt_s <= 0:
+            continue
+        tflops = df / dt_s / 1e12
+        pct = 100.0 * tflops * 1e12 / peak if peak else float("nan")
+        print(f"{name:>18s} {dt_s * 1e3:7.2f} {df / 1e9:8.2f} "
+              f"{tflops:8.1f} {pct:6.1f}")
+    if peak:
+        print(f"(chip peak {peak / 1e12:.0f} TFLOP/s bf16; "
+              "incremental flops from XLA cost analysis)")
 
 
 if __name__ == "__main__":

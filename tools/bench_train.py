@@ -82,8 +82,7 @@ def main():
         best = min(best, (t_many - t_one) / (iters - 1))
 
     ms = best * 1000.0
-    import json
-    print(json.dumps({
+    out = {
         "metric": "centermask2_v39_train_step",
         "value": round(ms, 2),
         "unit": "ms/step",
@@ -91,7 +90,29 @@ def main():
         "batch": B,
         "remat": remat,
         "imgs_per_sec": round(B / best, 2),
-    }))
+    }
+
+    # MFU of the whole train step (fwd + bwd + SGD): exact HLO flops of
+    # the single-step program / measured step time / chip bf16 peak
+    try:
+        from centermask2_tpu.utils.measures import chip_peak_flops
+
+        cost = jax.jit(step).lower(
+            state, images, gt, jax.random.PRNGKey(0)).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) if cost else 0.0
+        peak = chip_peak_flops()
+        if flops > 0:
+            out["step_tflops"] = round(flops / 1e12, 3)
+            out["achieved_tflops"] = round(flops / best / 1e12, 1)
+            if peak > 0:
+                out["mfu"] = round(flops / best / peak, 3)
+    except Exception as e:  # pragma: no cover
+        print(f"[warn] cost analysis failed: {e!r}", file=sys.stderr)
+
+    import json
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

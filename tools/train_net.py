@@ -113,6 +113,7 @@ def main():
         max_gt=cfg.TPU.MAX_GT_INSTANCES,
         seed=max(cfg.SEED, 0),
         random_flip=cfg.INPUT.RANDOM_FLIP,
+        sampling=cfg.INPUT.MIN_SIZE_TRAIN_SAMPLING,
         workers=cfg.DATALOADER.NUM_WORKERS), depth=2)
 
     # periodic evaluation resources, hoisted: one jitted forward, one
