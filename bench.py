@@ -77,7 +77,15 @@ def main():
     def chained(p, im, n):
         def body(i, acc):
             out = model.apply(p, im * weights[i])
-            return acc + out.scores
+            # consume EVERY output head: accumulating only out.scores
+            # lets XLA dead-code-eliminate the mask/maskiou branch
+            # (scores depend on decode alone) — the r1/r2 headline
+            # numbers silently measured a maskless graph. Caught by the
+            # r3 roofline; do not "simplify" this reduction.
+            return (acc + out.scores
+                    + out.mask_scores.astype(jnp.float32)
+                    + out.pred_masks.astype(jnp.float32).sum(axis=(2, 3, 4))
+                    + out.pred_boxes.sum(axis=2))
 
         k = model.post_nms_topk_test
         return jax.lax.fori_loop(0, n, body, jnp.zeros((1, k), jnp.float32))

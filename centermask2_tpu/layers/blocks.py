@@ -138,16 +138,19 @@ class FrozenBatchNorm(nn.Module):
 class GroupNorm(nn.Module):
     features: int
     num_groups: int = 32
+    # Keep data in the compute dtype (bf16): flax computes the moments in
+    # float32 internally regardless, and staying bf16 halves the HBM
+    # traffic of the FCOS towers' 40 GN ops. NOTE: dtype=None would
+    # PROMOTE bf16 activations to f32 (f32 scale/bias win the promotion)
+    # — measured as the head running at 25% of peak in the r3 roofline.
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        # Keep data in the compute dtype (bf16): flax computes the moments
-        # in float32 internally, and staying bf16 halves the HBM traffic
-        # of the FCOS towers' 40 GN ops.
         return nn.GroupNorm(
             num_groups=self.num_groups,
             epsilon=GN_EPS,
-            dtype=None,
+            dtype=self.dtype or x.dtype,
             param_dtype=jnp.float32,
             name="gn",
         )(x)

@@ -63,9 +63,12 @@ def main():
     weights = jnp.linspace(1.0, 1.01, 64)
 
     def chain_feats(im, n):
+        # consume EVERY level: reducing only p7 lets XLA DCE the p3/p4
+        # laterals and output convs (top-down means p7 needs only p5)
         def body(i, acc):
             f = feats_fn(im * weights[i])
-            return acc + f["p7"][0, :1, 0, 0].astype(jnp.float32)
+            tot = sum(v.astype(jnp.float32).sum() for v in f.values())
+            return acc + tot[None]
         return jax.lax.fori_loop(0, n, body, jnp.zeros((1,), jnp.float32))
 
     def stage_flops(fn):
@@ -88,12 +91,15 @@ def main():
         feats = model.apply(params, im, method=CenterMask.features)
         locations, logits, reg, ctr = model.apply(
             params, feats, method=CenterMask._fcos_raw)
-        return logits[0]
+        return logits, reg, ctr
 
     def chain_head(im, n):
+        # consume all towers at all levels (see chain_feats note)
         def body(i, acc):
-            lg = head_fn(im * weights[i])
-            return acc + lg[0, :1, 0, 0].astype(jnp.float32)
+            lgs, regs, ctrs = head_fn(im * weights[i])
+            tot = sum(v.astype(jnp.float32).sum()
+                      for vs in (lgs, regs, ctrs) for v in vs)
+            return acc + tot[None]
         return jax.lax.fori_loop(0, n, body, jnp.zeros((1,), jnp.float32))
 
     t = timed(jax.jit(chain_head), x)
@@ -109,12 +115,13 @@ def main():
             locations, logits, reg, ctr, model.fpn_strides,
             pre_nms_thresh=0.05, pre_nms_topk=1000, nms_thresh=0.6,
             post_nms_topk=50, nms_candidates=1000)
-        return proposals.scores
+        return (proposals.scores + proposals.pred_boxes.sum(axis=2)
+                + proposals.pred_classes.astype(jnp.float32))
 
     def chain_dec(im, n):
         def body(i, acc):
             s = dec_fn(im * weights[i])
-            return acc + s[0, :1]
+            return acc + s.sum()[None]
         return jax.lax.fori_loop(0, n, body, jnp.zeros((1,), jnp.float32))
 
     t = timed(jax.jit(chain_dec), x)
@@ -123,12 +130,15 @@ def main():
 
     # stage 4: full
     def full_fn(im):
-        return model.apply(params, im).scores
+        out = model.apply(params, im)
+        return (out.scores + out.mask_scores.astype(jnp.float32)
+                + out.pred_masks.astype(jnp.float32).sum(axis=(2, 3, 4))
+                + out.pred_boxes.sum(axis=2))
 
     def chain_full(im, n):
         def body(i, acc):
             s = full_fn(im * weights[i])
-            return acc + s[0, :1]
+            return acc + s.sum()[None]
         return jax.lax.fori_loop(0, n, body, jnp.zeros((1,), jnp.float32))
 
     t = timed(jax.jit(chain_full), x)
