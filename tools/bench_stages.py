@@ -14,21 +14,30 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache"
 import numpy as np
 
 
-def timed(fn, x, iters=10):
-    """fn(x, n) with n traced (single compile, dynamic loop bound)."""
+def timed(fn, x, iters=10, repeats=6):
+    """fn(x, n) with n traced (single compile, dynamic loop bound).
+
+    Best-of-`repeats` over PAIRED (n=1, n=iters) samples: the axon
+    tunnel time-shares and drifts 1-2 ms between windows, so a single
+    t_one baseline can make the difference negative. Pairing keeps both
+    samples in the same window; min over repeats rides out interference.
+    """
     import jax
 
     from centermask2_tpu.utils.platform import apply_platform_override
     apply_platform_override()
 
     jax.block_until_ready(fn(x, 1))  # compile once
-    t0 = time.perf_counter()
-    jax.block_until_ready(fn(x, 1))
-    t_one = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    jax.block_until_ready(fn(x, iters))
-    t_many = time.perf_counter() - t0
-    return (t_many - t_one) / (iters - 1)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(x, 1))
+        t_one = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(x, iters))
+        t_many = time.perf_counter() - t0
+        best = min(best, (t_many - t_one) / (iters - 1))
+    return max(best, 0.0)
 
 
 def main():
