@@ -93,19 +93,21 @@ def main():
     fn = jax.jit(chained)
     jax.block_until_ready(fn(params, x, 1))  # compile + warm up
 
-    best = float("inf")
     # best-of-8: the axon tunnel time-shares, so individual repeats see
-    # up to ~1 ms of interference; min is the honest device number
+    # up to ~1 ms of interference. min(t_many) and min(t_one) are taken
+    # SEPARATELY before differencing — min over paired differences is
+    # biased low (a repeat whose n=1 baseline catches interference while
+    # the n=iters run does not underestimates, and min selects exactly
+    # those samples); each min alone converges to the uncontended time.
+    best_one = best_many = float("inf")
     for _ in range(8):
         t0 = time.perf_counter()
         jax.block_until_ready(fn(params, x, 1))
-        t_one = time.perf_counter() - t0
+        best_one = min(best_one, time.perf_counter() - t0)
         t0 = time.perf_counter()
         jax.block_until_ready(fn(params, x, iters))
-        t_many = time.perf_counter() - t0
-        # subtract the fixed dispatch overhead measured by n=1
-        best = min(best, (t_many - t_one) / (iters - 1))
-    dt = max(best, 1e-9)
+        best_many = min(best_many, time.perf_counter() - t0)
+    dt = max((best_many - best_one) / (iters - 1), 1e-9)
 
     ms = dt * 1000.0
     baseline_s = 0.050  # reference V100 inference time (README.md:171-173)

@@ -14,33 +14,58 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache"
 import numpy as np
 
 
-def timed(fn, x, iters=10, repeats=6):
-    """fn(x, n) with n traced (single compile, dynamic loop bound).
-
-    Best-of-`repeats` over PAIRED (n=1, n=iters) samples: the axon
-    tunnel time-shares and drifts 1-2 ms between windows, so a single
-    t_one baseline can make the difference negative. Pairing keeps both
-    samples in the same window; min over repeats rides out interference.
-    """
+def make_sampler(fn, x, iters=10):
+    """Compile fn(x, n) (n traced: one compile serves every n) and
+    return a zero-arg PAIRED sampler: (n=1, n=iters) back to back in the
+    same measurement window, returning the per-iteration increment."""
     import jax
 
-    from centermask2_tpu.utils.platform import apply_platform_override
-    apply_platform_override()
-
     jax.block_until_ready(fn(x, 1))  # compile once
-    best = float("inf")
-    for _ in range(repeats):
+
+    def sample():
         t0 = time.perf_counter()
         jax.block_until_ready(fn(x, 1))
         t_one = time.perf_counter() - t0
         t0 = time.perf_counter()
         jax.block_until_ready(fn(x, iters))
         t_many = time.perf_counter() - t0
-        best = min(best, (t_many - t_one) / (iters - 1))
-    return max(best, 0.0)
+        return t_one, t_many
+
+    return sample, iters
+
+
+def timed_interleaved(named_fns, x, repeats=6):
+    """Per-graph latency for several graphs, sampled INTERLEAVED
+    round-robin so every graph sees every measurement window.
+
+    The axon tunnel time-shares and drifts 1-2 ms between windows;
+    timing each stage in its own window corrupts the stage INCREMENTS
+    (adjacent cumulative stages land in different windows — observed
+    decode increments of 0.5 vs 2.2 ms across runs).
+
+    Estimator: min(t_many) and min(t_one) are taken SEPARATELY over
+    repeats before differencing. min over paired differences is biased
+    low — a repeat whose n=1 baseline catches interference while the
+    n=iters run does not yields an underestimate, and min selects
+    exactly those samples (observed: "full pipeline" 7.1 ms < its own
+    decode prefix 8.7 ms). Each min alone converges to the uncontended
+    time, so their difference is the honest per-iteration increment.
+    """
+    samplers = [(name,) + make_sampler(fn, x) for name, fn in named_fns]
+    ones = {name: float("inf") for name, _, _ in samplers}
+    manys = {name: float("inf") for name, _, _ in samplers}
+    for _ in range(repeats):
+        for name, s, _ in samplers:
+            t_one, t_many = s()
+            ones[name] = min(ones[name], t_one)
+            manys[name] = min(manys[name], t_many)
+    return {name: max((manys[name] - ones[name]) / (iters - 1), 0.0)
+            for name, _, iters in samplers}
 
 
 def main():
+    from centermask2_tpu.utils.platform import apply_platform_override
+    apply_platform_override()
     import jax
     import jax.numpy as jnp
 
@@ -89,11 +114,9 @@ def main():
         except Exception:
             return 0.0
 
-    stages = []  # (name, cumulative_ms, cumulative_flops)
+    chains = []  # (name, chained_fn, stage_fn) — timed interleaved below
 
-    t = timed(jax.jit(chain_feats), x)
-    print(f"backbone+fpn: {t * 1000:.2f} ms")
-    stages.append(("backbone+fpn", t, stage_flops(feats_fn)))
+    chains.append(("backbone+fpn", jax.jit(chain_feats), feats_fn))
 
     # stage 2: + FCOS head (raw)
     def head_fn(im):
@@ -111,9 +134,7 @@ def main():
             return acc + tot[None]
         return jax.lax.fori_loop(0, n, body, jnp.zeros((1,), jnp.float32))
 
-    t = timed(jax.jit(chain_head), x)
-    print(f"+fcos head: {t * 1000:.2f} ms")
-    stages.append(("fcos head", t, stage_flops(head_fn)))
+    chains.append(("fcos head", jax.jit(chain_head), head_fn))
 
     # stage 3: + decode (topk+nms)
     def dec_fn(im):
@@ -133,9 +154,7 @@ def main():
             return acc + s.sum()[None]
         return jax.lax.fori_loop(0, n, body, jnp.zeros((1,), jnp.float32))
 
-    t = timed(jax.jit(chain_dec), x)
-    print(f"+decode(topk+nms): {t * 1000:.2f} ms")
-    stages.append(("decode", t, stage_flops(dec_fn)))
+    chains.append(("decode", jax.jit(chain_dec), dec_fn))
 
     # stage 4: full
     def full_fn(im):
@@ -150,9 +169,47 @@ def main():
             return acc + s.sum()[None]
         return jax.lax.fori_loop(0, n, body, jnp.zeros((1,), jnp.float32))
 
-    t = timed(jax.jit(chain_full), x)
-    print(f"full pipeline: {t * 1000:.2f} ms")
-    stages.append(("roi+mask+maskiou", t, stage_flops(full_fn)))
+    chains.append(("roi+mask+maskiou", jax.jit(chain_full), full_fn))
+
+    # optional: standalone NMS chain (BENCH_NMS=1) to attribute the
+    # decode increment between the top-k stack and nms_select. Not part
+    # of the cumulative roofline table.
+    extra = []
+    if os.environ.get("BENCH_NMS", "0") == "1":
+        from centermask2_tpu.ops import nms_select
+
+        nb = int(os.environ.get("BENCH_NMS_N", "1000"))
+        rb = rng.rand(nb, 4).astype(np.float32) * 600
+        base_boxes = jnp.asarray(
+            np.concatenate([rb[:, :2], rb[:, :2] + 16 + rb[:, 2:] * 20], 1))
+        base_scores = jnp.asarray(rng.rand(nb).astype(np.float32))
+        base_cls = jnp.asarray(rng.randint(0, 80, nb).astype(np.int32))
+        vmask = jnp.ones((nb,), bool)
+
+        def chain_nms(im, n):
+            del im
+
+            def body(i, acc):
+                idx, kv = nms_select(base_boxes * weights[i], base_scores,
+                                     base_cls, vmask, 0.6, 50)
+                return (acc + idx.sum().astype(jnp.float32)[None]
+                        + kv.sum().astype(jnp.float32)[None])
+
+            return jax.lax.fori_loop(0, n, body, jnp.zeros((1,), jnp.float32))
+
+        extra.append(("nms_select", jax.jit(chain_nms)))
+
+    labels = {"backbone+fpn": "backbone+fpn", "fcos head": "+fcos head",
+              "decode": "+decode(topk+nms)", "roi+mask+maskiou":
+              "full pipeline"}
+    times = timed_interleaved([(n, f) for n, f, _ in chains] + extra, x)
+    stages = []
+    for name, _, sfn in chains:
+        t = times[name]
+        print(f"{labels[name]}: {t * 1000:.2f} ms")
+        stages.append((name, t, stage_flops(sfn)))
+    for name, _ in extra:
+        print(f"[extra] {name}: {times[name] * 1000:.2f} ms")
 
     # roofline table: per-stage INCREMENTS over the previous cumulative
     # stage, against the chip's bf16 peak
