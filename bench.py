@@ -93,14 +93,22 @@ def main():
     fn = jax.jit(chained)
     jax.block_until_ready(fn(params, x, 1))  # compile + warm up
 
-    # best-of-8: the axon tunnel time-shares, so individual repeats see
-    # up to ~1 ms of interference. min(t_many) and min(t_one) are taken
-    # SEPARATELY before differencing — min over paired differences is
-    # biased low (a repeat whose n=1 baseline catches interference while
-    # the n=iters run does not underestimates, and min selects exactly
-    # those samples); each min alone converges to the uncontended time.
+    # The axon tunnel time-shares: individual repeats see ~1 ms of
+    # interference, and whole multi-minute windows can run 15-20% slow.
+    # Two defenses: (a) min(t_many) and min(t_one) are taken SEPARATELY
+    # before differencing — min over paired differences is biased low (a
+    # repeat whose n=1 baseline catches interference while the n=iters
+    # run does not underestimates, and min selects exactly those
+    # samples); each min alone converges to the uncontended time.
+    # (b) sample across a ~2-minute budget (>=8 repeats regardless) so a
+    # briefly-degraded window doesn't own every sample.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "120"))
     best_one = best_many = float("inf")
-    for _ in range(8):
+    t_start = time.perf_counter()
+    rep = 0
+    while rep < 8 or (time.perf_counter() - t_start < budget_s
+                      and rep < 64):
+        rep += 1
         t0 = time.perf_counter()
         jax.block_until_ready(fn(params, x, 1))
         best_one = min(best_one, time.perf_counter() - t0)
@@ -176,11 +184,24 @@ def main():
                 jax.block_until_ready(pending.popleft())
             return (time.perf_counter() - t0) / n_imgs
 
-        pipelined(4, 2)  # warm
-        sus = min(pipelined(24, 2) for _ in range(3))
+        probe = pipelined(4, 2)  # warm + window probe
+        # bound the cost in a degraded tunnel window (the link can drop
+        # to tens of MB/s for minutes): fewer images per trial when
+        # slow, but keep sampling across a ~90 s budget so one bad
+        # window doesn't own the number
+        n_imgs = 24 if probe < 0.05 else 8
+        t_start, sus = time.perf_counter(), float("inf")
+        for _ in range(8):
+            sus = min(sus, pipelined(n_imgs, 2))
+            if time.perf_counter() - t_start > 90:
+                break
         result["sustained_images_per_sec"] = round(1.0 / sus, 1)
         result["sustained_ms_per_image"] = round(sus * 1000.0, 3)
-        bat = min(pipelined(24, depth) for _ in range(2))
+        t_start, bat = time.perf_counter(), float("inf")
+        for _ in range(4):
+            bat = min(bat, pipelined(n_imgs, depth))
+            if time.perf_counter() - t_start > 45:
+                break
         result["batched_images_per_sec"] = round(1.0 / bat, 1)
         result["batch"] = depth
 

@@ -71,15 +71,18 @@ def main():
     jax.block_until_ready(fn(state, 1))
     print(f"compile+warmup: {time.perf_counter() - t0:.1f} s", file=sys.stderr)
 
-    best = float("inf")
+    # min of each arm SEPARATELY before differencing: min over paired
+    # differences is biased low when interference hits the n=1 baseline
+    # (see bench.py)
+    best_one = best_many = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         jax.block_until_ready(fn(state, 1))
-        t_one = time.perf_counter() - t0
+        best_one = min(best_one, time.perf_counter() - t0)
         t0 = time.perf_counter()
         jax.block_until_ready(fn(state, iters))
-        t_many = time.perf_counter() - t0
-        best = min(best, (t_many - t_one) / (iters - 1))
+        best_many = min(best_many, time.perf_counter() - t0)
+    best = (best_many - best_one) / (iters - 1)
 
     ms = best * 1000.0
     out = {
