@@ -162,11 +162,16 @@ def main():
     try:
         from collections import deque
 
-        from centermask2_tpu.data.preprocess import s2d_pack_u8
+        from centermask2_tpu.data.preprocess import s2d_pack_u8_tight
 
-        single = jax.jit(lambda p, im, hw: model.apply(p, im, None, hw))
+        single = jax.jit(
+            lambda p, im, hw: model.apply(p, im, None, hw,
+                                          canvas_hw=(edge, edge)))
         hw = jnp.asarray([[img_u8.shape[0], img_u8.shape[1]]], jnp.int32)
-        xu = jnp.asarray(s2d_pack_u8(img_u8, edge))
+        # TIGHT s2d pack: canvas just covering the resized image, padded
+        # back to the deployment square ON DEVICE — bit-identical, 1.67x
+        # fewer bytes over the (binding) host->device link
+        xu = jnp.asarray(s2d_pack_u8_tight(img_u8, edge))
         jax.block_until_ready(single(params, xu, hw))
         # a few distinct host images so the transform reads fresh memory
         imgs = [np.ascontiguousarray((img_u8.astype(np.int16) + k) % 256,
@@ -176,7 +181,7 @@ def main():
             pending = deque()
             t0 = time.perf_counter()
             for i in range(n_imgs):
-                xin = jnp.asarray(s2d_pack_u8(imgs[i % 4], edge))
+                xin = jnp.asarray(s2d_pack_u8_tight(imgs[i % 4], edge))
                 pending.append(single(params, xin, hw))
                 if len(pending) > d:
                     jax.block_until_ready(pending.popleft())
@@ -210,7 +215,7 @@ def main():
         # link, not the pipeline. Measure it: synchronized fresh-buffer
         # transfer+consume of the exact serving payload.
         consume = jax.jit(lambda a: a.ravel()[::4096].astype(jnp.int32).sum())
-        xu_np = np.asarray(s2d_pack_u8(imgs[0], edge))
+        xu_np = np.asarray(s2d_pack_u8_tight(imgs[0], edge))
         int(consume(jnp.asarray(xu_np)))
         tms = []
         for i in range(6):

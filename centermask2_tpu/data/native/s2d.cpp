@@ -85,10 +85,10 @@ inline void s2d_row(const T* img, int64_t h, int64_t w, int64_t C,
 }
 
 template <typename T, typename OutT, bool NORM>
-void s2d_run(const T* img, int64_t h, int64_t w, int64_t C, int64_t fixed,
-             const float* mean, OutT* out) {
-  const int64_t Ho = (fixed + 4) / 4;  // == fixed/4 + 1
-  const int64_t Wo = Ho;
+void s2d_run(const T* img, int64_t h, int64_t w, int64_t C, int64_t fh,
+             int64_t fw, const float* mean, OutT* out) {
+  const int64_t Ho = (fh + 4) / 4;  // == fh/4 + 1
+  const int64_t Wo = (fw + 4) / 4;
   const int64_t row_sz = Wo * 16 * C;
   float mean4[64];  // mean tiled over the 4 column phases (C <= 16)
   if (NORM)
@@ -108,18 +108,27 @@ extern "C" {
 // Requires h <= fixed, w <= fixed, fixed % 4 == 0 (checked by the caller).
 void s2d_preprocess_u8(const uint8_t* img, int64_t h, int64_t w, int64_t C,
                        int64_t fixed, const float* mean, float* out) {
-  s2d_run<uint8_t, float, true>(img, h, w, C, fixed, mean, out);
+  s2d_run<uint8_t, float, true>(img, h, w, C, fixed, fixed, mean, out);
 }
 
 void s2d_preprocess_f32(const float* img, int64_t h, int64_t w, int64_t C,
                         int64_t fixed, const float* mean, float* out) {
-  s2d_run<float, float, true>(img, h, w, C, fixed, mean, out);
+  s2d_run<float, float, true>(img, h, w, C, fixed, fixed, mean, out);
 }
 
 // Raw uint8 pack (no normalization — done on device).
 void s2d_pack_u8(const uint8_t* img, int64_t h, int64_t w, int64_t C,
                  int64_t fixed, uint8_t* out) {
-  s2d_run<uint8_t, uint8_t, false>(img, h, w, C, fixed, nullptr, out);
+  s2d_run<uint8_t, uint8_t, false>(img, h, w, C, fixed, fixed, nullptr, out);
+}
+
+// Rectangular-canvas raw pack: out ((fh+4)/4, (fw+4)/4, 16*C). Used for
+// the TIGHT serving transfer — canvas just covering the resized image;
+// the device zero-pads to the deployment square (bit-identical, ~1.7x
+// fewer host->device bytes).
+void s2d_pack_u8_rect(const uint8_t* img, int64_t h, int64_t w, int64_t C,
+                      int64_t fh, int64_t fw, uint8_t* out) {
+  s2d_run<uint8_t, uint8_t, false>(img, h, w, C, fh, fw, nullptr, out);
 }
 
 }  // extern "C"

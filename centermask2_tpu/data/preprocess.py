@@ -148,6 +148,9 @@ def _s2d_lib():
                     f32p, i64, i64, i64, i64, f32p, f32p]
                 lib.s2d_pack_u8.restype = None
                 lib.s2d_pack_u8.argtypes = [u8p, i64, i64, i64, i64, u8p]
+                lib.s2d_pack_u8_rect.restype = None
+                lib.s2d_pack_u8_rect.argtypes = [
+                    u8p, i64, i64, i64, i64, i64, u8p]
                 _S2D_LIB = lib
             except (OSError, subprocess.CalledProcessError):  # pragma: no cover
                 _S2D_LIB = False
@@ -185,28 +188,63 @@ def s2d_preprocess(image_hwc: np.ndarray,
 
 
 def s2d_pack_u8(image_hwc: np.ndarray,
-                fixed_size: int = FIXED_EDGE_SIZE) -> np.ndarray:
+                fixed_size=FIXED_EDGE_SIZE) -> np.ndarray:
     """Pad + space-to-depth ONE resized uint8 image WITHOUT normalizing:
-    returns the (1, F/4+1, F/4+1, 48) uint8 network input for the
+    returns the (1, Fh/4+1, Fw/4+1, 48) uint8 network input for the
     on-device normalization path (CenterMask._normalize_u8_s2d). 1/4 the
     host->device bytes of the f32 canvas — the transfer is the dominant
-    per-image cost on bandwidth-limited links."""
+    per-image cost on bandwidth-limited links. ``fixed_size``: the canvas,
+    an int (square) or an (Fh, Fw) pair (rectangular — see
+    s2d_pack_u8_tight)."""
     h, w, C = image_hwc.shape
-    if h > fixed_size or w > fixed_size:
+    fh, fw = ((fixed_size, fixed_size) if np.isscalar(fixed_size)
+              else tuple(fixed_size))
+    if h > fh or w > fw:
         raise ValueError(
-            f"resized image ({h}x{w}) exceeds the padded canvas "
-            f"{fixed_size}x{fixed_size}")
-    assert fixed_size % 4 == 0, fixed_size
+            f"resized image ({h}x{w}) exceeds the padded canvas {fh}x{fw}")
+    assert fh % 4 == 0 and fw % 4 == 0, (fh, fw)
     img = np.ascontiguousarray(image_hwc, np.uint8)
     lib = _s2d_lib()
     if lib is not None:
-        Ho = fixed_size // 4 + 1
-        out = np.empty((Ho, Ho, 16 * C), np.uint8)
-        lib.s2d_pack_u8(img, h, w, C, fixed_size, out)
+        out = np.empty((fh // 4 + 1, fw // 4 + 1, 16 * C), np.uint8)
+        lib.s2d_pack_u8_rect(img, h, w, C, fh, fw, out)
         return out[None]
-    canvas = np.zeros((fixed_size, fixed_size, C), np.uint8)
+    canvas = np.zeros((fh, fw, C), np.uint8)
     canvas[:h, :w] = img
     return stem_space_to_depth(canvas[None])
+
+
+def s2d_pack_u8_tight(image_hwc: np.ndarray,
+                      fixed_size: int = FIXED_EDGE_SIZE,
+                      multiple: int = 32) -> np.ndarray:
+    """s2d_pack_u8 over the TIGHT canvas: the smallest
+    (multiple-aligned) rectangle covering the resized image instead of
+    the full deployment square. The device zero-pads the pack back to
+    the square (CenterMask.inference canvas_hw=...) — bit-identical
+    outputs, because every s2d cell outside the tight pack reads only
+    canvas padding, which is zero in both formulations.
+
+    At the reference serving shape (800x1333 resize, 1344 canvas) this
+    ships 201x337 u8 cells instead of 337x337 — 1.67x fewer bytes over
+    the host->device link, which is the binding constraint of this
+    deployment (bench.py link_mb_per_sec). ``multiple`` quantizes the
+    tight canvas to bound the number of compiled program shapes."""
+    h, w, _ = image_hwc.shape
+    align = lambda v: min(-(-v // multiple) * multiple, fixed_size)
+    return s2d_pack_u8(image_hwc, (align(h), align(w)))
+
+
+def s2d_serving_canvas(h: int, w: int,
+                       fixed_size: int = FIXED_EDGE_SIZE,
+                       short: int = MIN_EDGE_SIZE) -> Tuple[int, int]:
+    """Quantized tight canvas for a resized (h, w) image: each dim is
+    either align4(short) (the dim a ResizeShortestEdge(short) output
+    can't exceed in its short direction) or the full ``fixed_size``.
+    At most 4 distinct canvases per deployment -> at most 4 compiled
+    programs, while landscape/portrait images ship ~60% of the full
+    square's bytes (s2d_pack_u8_tight rationale)."""
+    s = min(-(-short // 4) * 4, fixed_size)
+    return (s if h <= s else fixed_size, s if w <= s else fixed_size)
 
 
 def input_transform_for(model):
@@ -225,6 +263,7 @@ def preprocess_for_model(
     max_size: int = MAX_EDGE_SIZE,
     s2d: bool = False,
     u8: bool = False,
+    tight: bool = False,
 ) -> Dict:
     """Full host pipeline for one image: returns the NHWC network input plus
     the metadata postprocessing needs. With ``s2d`` (the
@@ -233,11 +272,18 @@ def preprocess_for_model(
     "input" is the (1, F/4+1, F/4+1, 48) s2d tensor — no separate
     input_transform_for step needed. ``u8`` (implies s2d) skips host
     normalization and returns the raw uint8 s2d pack — pass "valid_hw"
-    to the model so it normalizes on device (4x less transfer)."""
+    to the model so it normalizes on device (4x less transfer). ``tight``
+    (u8 only) packs over the quantized tight canvas (s2d_serving_canvas,
+    ~1.67x fewer bytes again) — the consumer MUST then call the model
+    with canvas_hw=(fixed_size, fixed_size) so the device pads it back."""
     original = read_image_bgr(path)
     h, w = original.shape[:2]
     image = resize_shortest_edge(original, short, max_size)
-    if u8:
+    if u8 and tight:
+        inp = s2d_pack_u8(
+            image, s2d_serving_canvas(image.shape[0], image.shape[1],
+                                      fixed_size, short))
+    elif u8:
         inp = s2d_pack_u8(image, fixed_size)
     elif s2d:
         inp = s2d_preprocess(image, fixed_size)

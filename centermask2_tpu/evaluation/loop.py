@@ -38,6 +38,7 @@ def evaluate_dataset(
     progress_every: int = 50,
     pipeline_depth: int = 2,
     kpt_oks_sigmas=None,
+    tight: Optional[bool] = None,
 ):
     """Evaluate ``model`` over a COCO-format dataset one image at a time.
 
@@ -53,7 +54,11 @@ def evaluate_dataset(
 
     With an s2d-input model the device is fed the RAW uint8 s2d pack
     (1/4 the transfer bytes; normalization on device), bit-identical to
-    the f32 path.
+    the f32 path — over the quantized TIGHT canvas (~1.67x fewer bytes
+    again, s2d_serving_canvas) when ``tight`` is on. ``tight`` defaults
+    to s2d when the loop builds its own forward; when YOU pass ``fn``
+    and want tight packs, the fn must apply the model with
+    canvas_hw=(fixed_size, fixed_size) and you must pass tight=True.
     """
     import jax
     import jax.numpy as jnp
@@ -66,12 +71,16 @@ def evaluate_dataset(
     from centermask2_tpu.data.prefetch import prefetch
     from centermask2_tpu.evaluation import COCOEvaluator, COCOGt
 
+    s2d = bool(getattr(model, "s2d_input", False))
     if fn is None:
-        fn = jax.jit(lambda v, im, hw: model.apply(v, im, None, hw))
+        if tight is None:
+            tight = s2d
+        fn = jax.jit(lambda v, im, hw: model.apply(
+            v, im, None, hw, canvas_hw=(fixed_size, fixed_size)))
+    tight = bool(tight) and s2d
     # host-numpy weights would re-upload per jit call (once per image) —
     # place them on device once
     variables = jax.device_put(variables)
-    s2d = bool(getattr(model, "s2d_input", False))
 
     if ds is None:
         ds = CocoDataset(ann, image_root, filter_empty=False)
@@ -88,7 +97,7 @@ def evaluate_dataset(
         for img_id in ids:
             yield img_id, preprocess_for_model(
                 ds.image_path(img_id), fixed_size, min_size, max_size,
-                s2d=s2d, u8=s2d)
+                s2d=s2d, u8=s2d, tight=tight)
 
     n_done = 0
 

@@ -259,8 +259,28 @@ class CenterMask(nn.Module):
     # ------------------------------------------------------------------
     def __call__(self, images: jnp.ndarray,
                  image_sizes: Optional[jnp.ndarray] = None,
-                 valid_hw: Optional[jnp.ndarray] = None) -> InferenceOutputs:
-        return self.inference(images, image_sizes, valid_hw)
+                 valid_hw: Optional[jnp.ndarray] = None,
+                 canvas_hw: Optional[Tuple[int, int]] = None
+                 ) -> InferenceOutputs:
+        return self.inference(images, image_sizes, valid_hw, canvas_hw)
+
+    def _pad_to_canvas(self, images: jnp.ndarray,
+                       canvas_hw: Optional[Tuple[int, int]]) -> jnp.ndarray:
+        """Zero-pad a TIGHT s2d input pack (data/preprocess.py:
+        s2d_pack_u8_tight) back to the deployment canvas on device.
+        Exact: a tight-canvas s2d pack equals the top-left block of the
+        full-canvas pack, and every full-pack cell outside it reads only
+        zero canvas padding. ``canvas_hw``: static python (H, W) of the
+        deployment canvas. Cheap — a u8 HBM copy XLA fuses with the
+        normalize that follows."""
+        if canvas_hw is None or not self.s2d_input:
+            return images
+        Ho, Wo = canvas_hw[0] // 4 + 1, canvas_hw[1] // 4 + 1
+        dh, dw = Ho - images.shape[1], Wo - images.shape[2]
+        if dh == 0 and dw == 0:
+            return images
+        assert dh >= 0 and dw >= 0, (images.shape, canvas_hw)
+        return jnp.pad(images, ((0, 0), (0, dh), (0, dw), (0, 0)))
 
     def _normalize_u8_s2d(self, images: jnp.ndarray,
                           valid_hw: Optional[jnp.ndarray]) -> jnp.ndarray:
@@ -303,13 +323,19 @@ class CenterMask(nn.Module):
 
     def inference(self, images: jnp.ndarray,
                   image_sizes: Optional[jnp.ndarray] = None,
-                  valid_hw: Optional[jnp.ndarray] = None) -> InferenceOutputs:
+                  valid_hw: Optional[jnp.ndarray] = None,
+                  canvas_hw: Optional[Tuple[int, int]] = None
+                  ) -> InferenceOutputs:
         """Full inference to the 6-tensor contract. ``image_sizes``: (B, 2)
         true (h, w) per image (defaults to the padded size, matching the
         reference's FakeImageList deployment contract). ``valid_hw``:
         (B, 2) int32 true resized sizes, only needed for RAW uint8 s2d
         inputs (on-device normalization masking — see _normalize_u8_s2d);
-        it does NOT change box/ROI semantics (image_sizes does that)."""
+        it does NOT change box/ROI semantics (image_sizes does that).
+        ``canvas_hw``: static deployment canvas (H, W) — pass it when
+        ``images`` is a TIGHT s2d pack so the device zero-pads it back
+        to the full canvas (see _pad_to_canvas)."""
+        images = self._pad_to_canvas(images, canvas_hw)
         B = images.shape[0]
         H, W = self.canvas_hw(images)
         if image_sizes is None:

@@ -195,6 +195,40 @@ def test_s2d_pack_u8_layout():
     assert got.dtype == np.uint8 and np.array_equal(ref, got)
 
 
+def test_s2d_pack_u8_tight_is_top_left_block():
+    """A tight-canvas pack must equal the top-left block of the full
+    pack, with the full pack zero outside it — the invariant the
+    device-side pad (CenterMask._pad_to_canvas) relies on."""
+    from centermask2_tpu.data.preprocess import s2d_pack_u8, s2d_pack_u8_tight
+
+    rng = np.random.RandomState(11)
+    for (h, w, mult) in [(30, 44, 8), (30, 64, 8), (64, 64, 8), (7, 61, 4),
+                         (33, 9, 16)]:
+        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        full = s2d_pack_u8(img, 64)
+        tight = s2d_pack_u8_tight(img, 64, multiple=mult)
+        th, tw = tight.shape[1], tight.shape[2]
+        assert th <= full.shape[1] and tw <= full.shape[2]
+        assert np.array_equal(full[:, :th, :tw], tight), (h, w, mult)
+        padded = np.zeros_like(full)
+        padded[:, :th, :tw] = tight
+        assert np.array_equal(full, padded), (h, w, mult)
+
+
+def test_s2d_serving_canvas_quantization():
+    """The serving canvas takes at most 4 values per deployment and
+    always covers the resized image."""
+    from centermask2_tpu.data.preprocess import s2d_serving_canvas
+
+    assert s2d_serving_canvas(800, 1333, 1344, 800) == (800, 1344)
+    assert s2d_serving_canvas(1333, 800, 1344, 800) == (1344, 800)
+    assert s2d_serving_canvas(640, 800, 1344, 800) == (800, 800)
+    assert s2d_serving_canvas(801, 1333, 1344, 800) == (1344, 1344)
+    # short not a multiple of 4 -> canvas aligned up
+    ch, cw = s2d_serving_canvas(30, 61, 64, 30)
+    assert ch % 4 == 0 and cw % 4 == 0 and ch >= 30 and cw >= 61
+
+
 def test_stem_space_to_depth_natural_order():
     """Channel rho*4C + kap*C + c at (i, j) holds pixel
     (4i + rho - 2, 4j + kap - 2), zero outside."""

@@ -207,6 +207,19 @@ def test_uint8_s2d_input_bit_identical():
         b = np.asarray(getattr(out_u, name))
         assert np.array_equal(a, b), name
 
+    # TIGHT pack + device pad (canvas_hw) must also be bit-identical:
+    # the serving transfer optimization changes bytes on the link, not
+    # any math (data/preprocess.py:s2d_pack_u8_tight).
+    from centermask2_tpu.data.preprocess import s2d_pack_u8_tight
+
+    x_t = jnp.asarray(s2d_pack_u8_tight(img, 64, multiple=8))
+    assert x_t.size < x_u8.size
+    out_t = model.apply(params, x_t, None, hw, canvas_hw=(64, 64))
+    for name in out_f._fields:
+        a = np.asarray(getattr(out_f, name))
+        b = np.asarray(getattr(out_t, name))
+        assert np.array_equal(a, b), name
+
 
 def test_keypoint_infer_to_eval_pipeline():
     """KEYPOINT_ON end to end: model inference -> wrap -> postprocess

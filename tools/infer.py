@@ -93,8 +93,11 @@ def main():
 
     # eval-loop forward contract: fn(variables, images, valid_hw) —
     # valid_hw drives on-device normalization of raw uint8 s2d inputs
-    # (unused, and DCE'd by XLA, for f32 inputs)
-    fn = jax.jit(lambda v, im, hw: model.apply(v, im, None, hw))
+    # (unused, and DCE'd by XLA, for f32 inputs); canvas_hw pads TIGHT
+    # s2d packs back to the deployment square on device (no-op for
+    # full-size or non-s2d inputs)
+    fn = jax.jit(lambda v, im, hw: model.apply(
+        v, im, None, hw, canvas_hw=(fixed, fixed)))
     if args.data_parallel and args.batch_size <= 1:
         raise SystemExit(
             "--data-parallel requires --batch-size > 1 (a multiple of the "
@@ -141,7 +144,8 @@ def main():
             max_size=cfg.INPUT.MAX_SIZE_TEST,
             tasks=tuple(args.tasks.split(",")), limit=args.limit, fn=fn,
             ds=ds, gt=gt, pipeline_depth=max(2, args.batch_size),
-            kpt_oks_sigmas=cfg.TEST.KEYPOINT_OKS_SIGMAS)
+            kpt_oks_sigmas=cfg.TEST.KEYPOINT_OKS_SIGMAS,
+            tight=model.s2d_input)
         finish(args, results, evaluator, avg_ms)
         return
 

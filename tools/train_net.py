@@ -124,7 +124,8 @@ def main():
         from centermask2_tpu.evaluation import COCOGt
         from centermask2_tpu.evaluation.loop import evaluate_dataset
 
-        eval_fn = jax.jit(lambda v, im, hw: model.apply(v, im, None, hw))
+        eval_fn = jax.jit(lambda v, im, hw: model.apply(
+            v, im, None, hw, canvas_hw=(fixed, fixed)))
         eval_ds = _CocoDataset(args.val_ann,
                                args.val_image_root or args.image_root,
                                filter_empty=False)
@@ -177,7 +178,7 @@ def main():
                 fixed_size=fixed, min_size=cfg.INPUT.MIN_SIZE_TEST,
                 max_size=cfg.INPUT.MAX_SIZE_TEST, limit=args.val_limit,
                 fn=eval_fn, ds=eval_ds, gt=eval_gt, tasks=eval_tasks,
-                progress_every=0)
+                progress_every=0, tight=model.s2d_input)
             flat = {f"{task}/{k}": v for task, m in results.items()
                     for k, v in m.items() if not k.startswith("AP-")}
             storage.put_scalars(**flat)
