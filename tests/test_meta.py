@@ -221,6 +221,50 @@ def test_uint8_s2d_input_bit_identical():
         assert np.array_equal(a, b), name
 
 
+def test_eval_loop_tight_pack_matches_full(tmp_path):
+    """evaluate_dataset with the TIGHT serving pack (auto for s2d
+    models) must produce exactly the same predictions as the full-canvas
+    u8 path — the transfer optimization changes link bytes, not math."""
+    import json
+
+    from PIL import Image
+
+    from centermask2_tpu.evaluation.loop import evaluate_dataset
+
+    rng = np.random.RandomState(3)
+    (tmp_path / "images").mkdir()
+    images, anns = [], []
+    for i, (w, h) in enumerate([(120, 80), (70, 110)], 1):
+        arr = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(tmp_path / "images" / f"{i:012d}.jpg")
+        images.append({"id": i, "file_name": f"{i:012d}.jpg",
+                       "width": w, "height": h})
+        anns.append({"id": i, "image_id": i, "category_id": 1,
+                     "bbox": [10, 10, 40, 30], "area": 1200, "iscrowd": 0,
+                     "segmentation": [[10, 10, 50, 10, 50, 40, 10, 40]]})
+    ann = tmp_path / "ann.json"
+    with open(ann, "w") as f:
+        json.dump({"images": images, "annotations": anns,
+                   "categories": [{"id": 1, "name": "thing"}]}, f)
+
+    # pre_nms_thresh 0: random-init scores sit near the 0.01 prior,
+    # below the default 0.05; num_classes=1 so every prediction maps to
+    # the dataset's single category instead of being dropped
+    model = tiny_model(s2d_input=True, pre_nms_thresh_test=0.0,
+                       num_classes=1)
+    x0 = jnp.zeros((1, 17, 17, 48), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0)
+
+    common = dict(ann=str(ann), image_root=str(tmp_path / "images"),
+                  fixed_size=64, min_size=32, max_size=60,
+                  progress_every=0)
+    _, _, ev_tight = evaluate_dataset(model, variables, **common)
+    _, _, ev_full = evaluate_dataset(model, variables, tight=False,
+                                     **common)
+    assert ev_tight.predictions == ev_full.predictions
+    assert len(ev_tight.predictions) > 0
+
+
 def test_keypoint_infer_to_eval_pipeline():
     """KEYPOINT_ON end to end: model inference -> wrap -> postprocess
     (keypoint rescale) -> COCOEvaluator keypoints task produces finite
