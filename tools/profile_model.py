@@ -28,8 +28,16 @@ def summarize(trace_dir: str, runs: int, top: int, hlo_text: str = ""):
     f = sorted(glob.glob(os.path.join(trace_dir, "plugins/profile/*/*.trace.json.gz")))[-1]
     with gzip.open(f) as fh:
         data = json.load(fh)
+    # restrict to the device's "XLA Ops" thread: the trace also carries
+    # "Steps" and "XLA Modules" tracks whose parent spans would double-
+    # count every op (a train-step trace shows 5x the true time without
+    # this filter)
+    op_tids = {e["tid"] for e in data["traceEvents"]
+               if e.get("ph") == "M" and e.get("name") == "thread_name"
+               and e.get("pid") == 3 and e["args"]["name"] == "XLA Ops"}
     events = [e for e in data["traceEvents"]
               if e.get("ph") == "X" and e.get("pid") == 3 and "dur" in e
+              and e.get("tid") in op_tids
               and not e["name"].startswith("jit_")]
     total = sum(e["dur"] for e in events)
     print(f"device op time: {total / runs / 1000:.2f} ms/run")
