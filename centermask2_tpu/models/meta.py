@@ -538,10 +538,15 @@ class CenterMask(nn.Module):
                 patches_of_fg, gt_boxes_of_fg, flat_fg_boxes, m_side)
             gt_mask_bool = gt_mask_targets >= 0.5
 
-            # per-class logit selection (mask_head.py:121-127)
-            sel_logits = jnp.take_along_axis(
-                mask_logits.astype(jnp.float32),
-                flat_fg_classes[:, None, None, None], axis=-1)[..., 0]
+            # per-class logit selection (mask_head.py:121-127) as a
+            # one-hot contraction: take_along_axis with broadcast
+            # spatial dims lowers to a per-element gather (1.9 ms fwd +
+            # 1.1 ms bwd at R=256 on v5e); the einsum runs on the MXU
+            # and its transpose is another matmul, not a scatter
+            sel_logits = jnp.einsum(
+                "rhwc,rc->rhw", mask_logits.astype(jnp.float32),
+                jax.nn.one_hot(flat_fg_classes, mask_logits.shape[-1],
+                               dtype=jnp.float32))
 
             from centermask2_tpu.ops import optax_sigmoid_bce
 

@@ -76,7 +76,12 @@ def mask_rcnn_inference(
     if mask_logits.shape[-1] == 1:
         sel = mask_logits[..., 0]
     else:
-        sel = jnp.take_along_axis(
-            mask_logits, pred_classes[:, None, None, None], axis=-1
-        )[..., 0]
+        # one-hot contraction instead of take_along_axis: the broadcast
+        # spatial dims make the gather per-element (scalar-at-a-time on
+        # TPU); the einsum is one MXU matmul and bit-exact (exactly one
+        # nonzero per row, so no accumulation-order effects)
+        sel = jnp.einsum(
+            "rhwc,rc->rhw", mask_logits,
+            jax.nn.one_hot(pred_classes, mask_logits.shape[-1],
+                           dtype=mask_logits.dtype))
     return jax.nn.sigmoid(sel.astype(jnp.float32))
