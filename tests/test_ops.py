@@ -363,3 +363,48 @@ def test_pallas_roi_align_matches_xla(monkeypatch):
         jnp.asarray(batch_idx), jnp.asarray(levels), scales, 7, 2,
         interpret=True))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_crop_and_resize_patches_matches_roi_align_oracle():
+    """The separable-matmul GT-patch resampler (meta.py, the train-step
+    hot-path fix: a vmapped per-patch roi_align lowers to a scalar
+    gather, 32.6 ms/step on v5e) must match per-patch roi_align to fp
+    tolerance across overlapping / contained / disjoint / degenerate
+    boxes."""
+    from centermask2_tpu.models.meta import crop_and_resize_patches
+
+    rng = np.random.RandomState(17)
+    R, P = 48, 28
+    patches = jnp.asarray(rng.rand(R, P, P).astype(np.float32))
+    gt = np.zeros((R, 4), np.float32)
+    gt[:, :2] = rng.uniform(0, 100, (R, 2))
+    gt[:, 2:] = gt[:, :2] + rng.uniform(5, 80, (R, 2))
+    prop = np.zeros((R, 4), np.float32)
+    prop[:, :2] = gt[:, :2] + rng.uniform(-30, 30, (R, 2))
+    prop[:, 2:] = prop[:, :2] + rng.uniform(1, 120, (R, 2))
+    gt[0, 2] = gt[0, 0]  # degenerate gt box
+    prop[1] = gt[1]      # proposal == gt (identity resample)
+    prop[2, :2] = gt[2, 2:] + 50  # fully outside
+    prop[2, 2:] = prop[2, :2] + 10
+
+    def oracle(patches_, gt_, prop_, out):
+        gx0, gy0, gx1, gy1 = [gt_[:, i] for i in range(4)]
+        sx = P / jnp.maximum(gx1 - gx0, 1e-6)
+        sy = P / jnp.maximum(gy1 - gy0, 1e-6)
+        boxes_p = jnp.stack([(prop_[:, 0] - gx0) * sx,
+                             (prop_[:, 1] - gy0) * sy,
+                             (prop_[:, 2] - gx0) * sx,
+                             (prop_[:, 3] - gy0) * sy], axis=1)
+
+        def one(patch, box):
+            return roi_align(patch[:, :, None], box[None], 1.0, out,
+                             sampling_ratio=2, aligned=True)[0, :, :, 0]
+
+        return jax.vmap(one)(patches_, boxes_p)
+
+    gt_j, prop_j = jnp.asarray(gt), jnp.asarray(prop)
+    for out in (28, 14):
+        want = np.asarray(oracle(patches, gt_j, prop_j, out))
+        got = np.asarray(crop_and_resize_patches(patches, gt_j, prop_j, out))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+        assert np.isfinite(got).all()
