@@ -39,17 +39,32 @@ def _register_output_serialization():
 
 
 def export_serialized(model, variables, input_shape: Tuple[int, ...],
-                      path: str) -> str:
-    """Serialize the inference function (weights baked in) to ``path``."""
+                      path: str, *, input_dtype=jnp.float32,
+                      canvas_hw: Tuple[int, int] = None) -> str:
+    """Serialize the inference function (weights baked in) to ``path``.
+
+    Default: the f32 full-canvas program, callable(images). With
+    ``input_dtype=jnp.uint8`` (the raw-s2d-pack serving mode) the
+    artifact is callable(images, valid_hw) — valid_hw (B, 2) int32
+    drives on-device normalization; pass ``canvas_hw`` too when
+    ``input_shape`` is a TIGHT pack (s2d_pack_u8_tight) so the program
+    pads it back to the deployment square."""
     from jax import export as jax_export
 
     _register_output_serialization()
 
-    def fn(images):
-        return model.apply(variables, images)
+    if input_dtype == jnp.uint8:
+        def fn(images, valid_hw):
+            return model.apply(variables, images, None, valid_hw,
+                               canvas_hw=canvas_hw)
+        args = (jax.ShapeDtypeStruct(input_shape, jnp.uint8),
+                jax.ShapeDtypeStruct((input_shape[0], 2), jnp.int32))
+    else:
+        def fn(images):
+            return model.apply(variables, images)
+        args = (jax.ShapeDtypeStruct(input_shape, input_dtype),)
 
-    x = jax.ShapeDtypeStruct(input_shape, jnp.float32)
-    exported = jax_export.export(jax.jit(fn))(x)
+    exported = jax_export.export(jax.jit(fn))(*args)
     data = exported.serialize()
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as f:

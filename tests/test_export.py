@@ -51,3 +51,32 @@ def test_measures(tiny):
     stats = summarize(fn, variables, x)
     assert stats["flops"] > 1e8  # conv-dominated forward
     assert stats["params"] == n
+
+
+def test_aot_roundtrip_serving_u8_tight(tmp_path):
+    """The uint8 TIGHT-pack serving program (input_dtype=uint8 +
+    canvas_hw) must serialize, reload, and reproduce the direct path."""
+    from centermask2_tpu.data.preprocess import s2d_pack_u8_tight, s2d_preprocess
+    from centermask2_tpu.export import export_serialized, load_serialized
+
+    model = CenterMask(
+        conv_body="V-19-slim-eSE", post_nms_topk_test=5, pre_nms_topk_test=20,
+        nms_candidates=20, dtype=jnp.float32, s2d_input=True)
+    x0 = jnp.zeros((1, 17, 17, 48), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0)
+
+    rng = np.random.RandomState(1)
+    img = (rng.rand(40, 61, 3) * 255).astype(np.uint8)
+    xt = jnp.asarray(s2d_pack_u8_tight(img, 64, multiple=8))
+    hw = jnp.asarray([[40, 61]], jnp.int32)
+
+    path = str(tmp_path / "serving.jaxir")
+    export_serialized(model, variables, tuple(xt.shape), path,
+                      input_dtype=jnp.uint8, canvas_hw=(64, 64))
+    fn = load_serialized(path)
+    out_loaded = fn(xt, hw)
+    out_direct = model.apply(variables, jnp.asarray(s2d_preprocess(img, 64)))
+    np.testing.assert_allclose(np.asarray(out_direct.scores),
+                               np.asarray(out_loaded[5]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_direct.pred_boxes),
+                               np.asarray(out_loaded[2]), rtol=1e-5, atol=1e-4)

@@ -25,6 +25,14 @@ def main():
     p.add_argument("--weights", default=None)
     p.add_argument("--out", required=True)
     p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--serving-u8", action="store_true",
+                   help="export the raw-uint8 s2d serving program "
+                        "callable(images_u8, valid_hw) — requires "
+                        "TPU.S2D_STEM_INPUT True")
+    p.add_argument("--tight", choices=["landscape", "portrait"], default=None,
+                   help="with --serving-u8: export for the TIGHT quantized "
+                        "canvas of this orientation (s2d_serving_canvas) "
+                        "instead of the full square")
     p.add_argument("opts", nargs="*", default=[])
     args = p.parse_args()
 
@@ -74,6 +82,26 @@ def main():
             from centermask2_tpu.checkpoint.orbax_io import load_checkpoint
 
             variables = load_checkpoint(args.weights, target=variables)
+
+    if args.serving_u8:
+        if not model.s2d_input:
+            raise SystemExit("--serving-u8 requires TPU.S2D_STEM_INPUT True")
+        from centermask2_tpu.data.preprocess import s2d_serving_canvas
+
+        short = cfg.INPUT.MIN_SIZE_TEST
+        if args.tight == "landscape":
+            ch, cw = s2d_serving_canvas(short, fixed, fixed, short)
+        elif args.tight == "portrait":
+            cw, ch = s2d_serving_canvas(short, fixed, fixed, short)
+        else:
+            ch = cw = fixed
+        shape = (args.batch, ch // 4 + 1, cw // 4 + 1, 48)
+        path = export_serialized(model, variables, shape, args.out,
+                                 input_dtype=jnp.uint8,
+                                 canvas_hw=(fixed, fixed))
+        print(f"exported {path} ({os.path.getsize(path) / 1e6:.1f} MB), "
+              f"uint8 s2d input {shape} + valid_hw, canvas {fixed}")
+        return
 
     path = export_serialized(model, variables, shape, args.out)
     size_mb = os.path.getsize(path) / 1e6
