@@ -390,7 +390,8 @@ class CenterMask(nn.Module):
         )
 
     def inference_batched(self, images: jnp.ndarray,
-                          image_sizes: Optional[jnp.ndarray] = None
+                          image_sizes: Optional[jnp.ndarray] = None,
+                          valid_hw: Optional[jnp.ndarray] = None
                           ) -> InferenceOutputs:
         """Batched serving by mapping the single-image program over the
         batch (one compile, sequential execution).
@@ -403,17 +404,24 @@ class CenterMask(nn.Module):
         layouts themselves) — so the fastest batched throughput is the
         optimized B=1 graph run per image under lax.map. For multi-chip
         throughput, shard the batch instead (parallel/serve.py).
-        """
-        def one(args):
-            im, sz = args
-            out = self.inference(im[None], sz[None])
-            return jax.tree.map(lambda x: x[0], out)
 
+        ``valid_hw``: (B, 2) int32 true resized sizes, needed only for
+        RAW uint8 s2d inputs (on-device normalization masking).
+        """
         B = images.shape[0]
         if image_sizes is None:
             H, W = self.canvas_hw(images)
             image_sizes = jnp.tile(jnp.array([[H, W]], jnp.float32), (B, 1))
-        return jax.lax.map(one, (images, image_sizes))
+        if valid_hw is None:
+            H, W = self.canvas_hw(images)
+            valid_hw = jnp.tile(jnp.array([[H, W]], jnp.int32), (B, 1))
+
+        def one(args):
+            im, sz, hw = args
+            out = self.inference(im[None], sz[None], hw[None])
+            return jax.tree.map(lambda x: x[0], out)
+
+        return jax.lax.map(one, (images, image_sizes, valid_hw))
 
     # ------------------------------------------------------------------
     def loss(self, images: jnp.ndarray, gt: GroundTruth,

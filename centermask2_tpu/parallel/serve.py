@@ -22,23 +22,38 @@ from centermask2_tpu.models import CenterMask
 
 
 def make_dp_inference(model: CenterMask, mesh: Mesh, axis: str = "data"):
-    """Returns infer(params, images, image_sizes) -> InferenceOutputs.
+    """Returns infer(params, images, image_sizes, valid_hw=None)
+    -> InferenceOutputs.
 
     ``images``: (B, H, W, C) with B divisible by the mesh size; outputs
     keep the global batch dim, sharded over ``axis``. Place inputs with
     parallel.shard_batch and params with parallel.replicate.
+    ``valid_hw``: (B, 2) int32 true resized sizes, required only for RAW
+    uint8 s2d inputs (4x fewer host->device bytes; on-device
+    normalization) — defaults to the full canvas.
     """
     rep, sh = P(), P(axis)
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(rep, sh, sh), out_specs=sh, check_rep=False,
+        in_specs=(rep, sh, sh, sh), out_specs=sh, check_rep=False,
     )
-    def step(params, images, image_sizes):
-        return model.apply(params, images, image_sizes,
+    def step(params, images, image_sizes, valid_hw):
+        return model.apply(params, images, image_sizes, valid_hw,
                            method=CenterMask.inference_batched)
 
-    return jax.jit(step)
+    jitted = jax.jit(step)
+
+    def infer(params, images, image_sizes, valid_hw=None):
+        if valid_hw is None:
+            H, W = model.canvas_hw(images)
+            valid_hw = jnp.tile(jnp.array([[H, W]], jnp.int32),
+                                (images.shape[0], 1))
+            valid_hw = jax.device_put(
+                valid_hw, jax.sharding.NamedSharding(mesh, P(axis)))
+        return jitted(params, images, image_sizes, valid_hw)
+
+    return infer
 
 
 def default_image_sizes(model: CenterMask, images: jnp.ndarray,

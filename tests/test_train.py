@@ -287,6 +287,39 @@ def test_dp_inference_s2d_layout():
 
 
 @pytest.mark.slow
+def test_dp_inference_u8_pack_matches_f32():
+    """DP serving fed the RAW uint8 s2d pack (+ per-image valid_hw, the
+    4x-transfer-saving mode tools/infer.py --data-parallel now uses)
+    must be bit-identical to the host-normalized f32 s2d path."""
+    from centermask2_tpu.data.preprocess import s2d_pack_u8, s2d_preprocess
+    from centermask2_tpu.models import CenterMask
+    from centermask2_tpu.parallel import (
+        default_image_sizes, make_dp_inference, make_mesh, replicate,
+        shard_batch)
+
+    model = CenterMask(
+        conv_body="V-19-slim-eSE", mask_on=True, maskiou_on=True,
+        pre_nms_topk_test=20, post_nms_topk_test=10, nms_candidates=20,
+        s2d_input=True, dtype=jnp.float32)
+    rng = np.random.RandomState(4)
+    imgs = [(rng.rand(50, 61, 3) * 255).astype(np.uint8),
+            (rng.rand(64, 40, 3) * 255).astype(np.uint8)]
+    x_f32 = jnp.asarray(np.concatenate([s2d_preprocess(i, 64) for i in imgs]))
+    x_u8 = jnp.asarray(np.concatenate([s2d_pack_u8(i, 64) for i in imgs]))
+    hw = jnp.asarray([[50, 61], [64, 40]], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x_f32[:1])
+    sizes = default_image_sizes(model, x_f32)
+
+    mesh = make_mesh(jax.devices()[:2])
+    infer = make_dp_inference(model, mesh)
+    p_rep = replicate(params, mesh)
+    out_f = infer(p_rep, *shard_batch((x_f32, sizes), mesh))
+    out_u = infer(p_rep, *shard_batch((x_u8, sizes, hw), mesh))
+    for a, b in zip(jax.tree.leaves(out_f), jax.tree.leaves(out_u)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
 def test_dryrun_multichip_2dev():
     """The driver contract: full DP train step on a virtual mesh."""
     import sys, os
