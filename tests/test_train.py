@@ -225,6 +225,52 @@ def test_remat_backbone_same_gradients():
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_s2d_stem_training_gradients_match_plain():
+    """Training with TPU.S2D_STEM_INPUT (host s2d input + restructured
+    stem) must reproduce the plain path's loss and gradients — stem
+    params stay natural-layout, the kernel embedding is a linear
+    (differentiable) transform, so checkpoints are interchangeable."""
+    from centermask2_tpu.data.preprocess import stem_space_to_depth
+    from centermask2_tpu.models import CenterMask, GroundTruth
+
+    kw = dict(conv_body="V-19-slim-eSE", mask_on=True, maskiou_on=True,
+              pre_nms_topk_train=20, post_nms_topk_train=10,
+              nms_candidates=20, batch_size_per_image=16,
+              max_fg_proposals=4, dtype=jnp.float32)
+    model = CenterMask(**kw)
+    model_s = CenterMask(s2d_input=True, **kw)
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 64, 64, 3).astype(np.float32) * 20
+    images = jnp.asarray(x)
+    images_s = jnp.asarray(stem_space_to_depth(x))
+    gt = GroundTruth(
+        boxes=jnp.asarray([[[8, 8, 40, 40]]], jnp.float32),
+        classes=jnp.zeros((1, 1), jnp.int32),
+        valid=jnp.ones((1, 1), bool),
+        mask_patches=jnp.ones((1, 1, 8, 8)) * 0.7)
+    variables = model.init(jax.random.PRNGKey(0), images)
+
+    def total_loss(m, im):
+        def f(v):
+            losses = m.apply(v, im, gt, jax.random.PRNGKey(1),
+                             method=CenterMask.loss)
+            return sum(losses.values())
+        return jax.jit(jax.value_and_grad(f))(variables)
+
+    (l0, g0), (l1, g1) = total_loss(model, images), total_loss(model_s,
+                                                               images_s)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    flat0 = jax.tree_util.tree_leaves_with_path(g0)
+    flat1 = {jax.tree_util.keystr(k): v
+             for k, v in jax.tree_util.tree_leaves_with_path(g1)}
+    assert len(flat0) == len(flat1)
+    for k, a in flat0:
+        b = flat1[jax.tree_util.keystr(k)]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5,
+                                   err_msg=jax.tree_util.keystr(k))
+
+
 @pytest.mark.slow
 def test_dp_inference_matches_single_device():
     """Serving scale-out: batch sharded over a 2-device mesh produces

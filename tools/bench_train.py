@@ -36,11 +36,18 @@ def main():
     B = int(os.environ.get("BENCH_BATCH", "2"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     remat = os.environ.get("BENCH_REMAT", "0") == "1"
+    s2d = os.environ.get("BENCH_S2D", "0") == "1"
 
     model = CenterMask(conv_body="V-39-eSE", mask_on=True, maskiou_on=True,
-                       remat_backbone=remat)
+                       remat_backbone=remat, s2d_input=s2d)
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randn(B, edge, edge, 3).astype(np.float32) * 30)
+    if s2d:
+        # training with TPU.S2D_STEM_INPUT: the host input pipeline
+        # (train_net.py to_input) feeds the s2d layout; stem params stay
+        # natural-layout, the kernel transforms are differentiable
+        from centermask2_tpu.data.preprocess import stem_space_to_depth
+        images = jnp.asarray(stem_space_to_depth(np.asarray(images)))
     G = 20
     boxes = np.zeros((B, G, 4), np.float32)
     boxes[..., 2:] = rng.uniform(40, edge / 2, (B, G, 2))
@@ -92,6 +99,7 @@ def main():
         "edge": edge,
         "batch": B,
         "remat": remat,
+        "s2d": s2d,
         "imgs_per_sec": round(B / best, 2),
     }
 
