@@ -115,3 +115,37 @@ def test_keypoint_loss_normalizer_semantics():
     fixed = float(keypoint_rcnn_loss(logits, targets, valid,
                                      normalizer=float(2 * R * K)))
     assert fixed == pytest.approx(by_visible / 2, rel=1e-5)
+
+
+def test_every_shipped_config_builds():
+    """Each yaml in configs/centermask builds a model whose forward
+    shape-checks (eval_shape: no compile) — guards config/builder drift
+    across the whole shipped zoo (ResNet, VoVNet specs incl. dw,
+    MobileNet)."""
+    import glob
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from centermask2_tpu.models import build_centermask
+
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "configs", "centermask")
+    yamls = sorted(glob.glob(os.path.join(root, "*.yaml")))
+    assert len(yamls) >= 10
+    for y in yamls:
+        if os.path.basename(y).startswith("Base-"):
+            continue
+        cfg = get_cfg()
+        cfg.merge_from_file(y)
+        cfg.MODEL.FCOS.POST_NMS_TOPK_TEST = 5
+        cfg.MODEL.FCOS.PRE_NMS_TOPK_TEST = 20
+        cfg.TPU.NMS_CANDIDATES = 20
+        model = build_centermask(cfg)
+        x = jnp.zeros((1, 64, 64, 48 if model.s2d_input else 3))
+        if model.s2d_input:
+            x = jnp.zeros((1, 17, 17, 48))
+        out = jax.eval_shape(
+            lambda m=model, xx=x: m.init(jax.random.PRNGKey(0), xx))
+        assert "params" in out, y
