@@ -40,11 +40,7 @@ LAYER_PER_BLOCK = 3
 
 
 # --------------------------------------------------------------- weights
-def _make_state_dict(rng: np.random.RandomState):
-    """Reference-key-schema random checkpoint (detectron2 GeneralizedRCNN
-    naming; see checkpoint/convert_torch.py docstring)."""
-    sd = {}
-
+def _sd_builders(sd, rng):
     def conv(key, cin, cout, k=3, bias=False, std=0.05):
         sd[f"{key}.weight"] = rng.randn(cout, cin, k, k).astype(np.float32) * std
         if bias:
@@ -65,34 +61,15 @@ def _make_state_dict(rng: np.random.RandomState):
         sd[f"{key}.weight"] = rng.randn(cout, cin).astype(np.float32) * std
         sd[f"{key}.bias"] = rng.randn(cout).astype(np.float32) * 0.05
 
-    bb = "backbone.bottom_up."
-    conv(f"{bb}stem.stem_1/conv", 3, STEM[0])
-    bn(f"{bb}stem.stem_1/norm", STEM[0])
-    conv(f"{bb}stem.stem_2/conv", STEM[0], STEM[1])
-    bn(f"{bb}stem.stem_2/norm", STEM[1])
-    conv(f"{bb}stem.stem_3/conv", STEM[1], STEM[2])
-    bn(f"{bb}stem.stem_3/norm", STEM[2])
+    return conv, bn, gn, linear
 
-    in_ch = STEM[2]
-    for i in range(4):
-        stage = i + 2
-        mod = f"OSA{stage}_1"
-        ch = in_ch
-        for l in range(LAYER_PER_BLOCK):
-            conv(f"{bb}stage{stage}.{mod}.layers.{l}.{mod}_{l}/conv",
-                 ch, STAGE_CONV[i])
-            bn(f"{bb}stage{stage}.{mod}.layers.{l}.{mod}_{l}/norm",
-               STAGE_CONV[i])
-            ch = STAGE_CONV[i]
-        concat_in = in_ch + LAYER_PER_BLOCK * STAGE_CONV[i]
-        conv(f"{bb}stage{stage}.{mod}.concat.{mod}_concat/conv",
-             concat_in, STAGE_OUT[i], k=1)
-        bn(f"{bb}stage{stage}.{mod}.concat.{mod}_concat/norm", STAGE_OUT[i])
-        conv(f"{bb}stage{stage}.{mod}.ese.fc", STAGE_OUT[i], STAGE_OUT[i],
-             k=1, bias=True)
-        in_ch = STAGE_OUT[i]
 
-    for s, c in zip((3, 4, 5), STAGE_OUT[1:]):
+def _add_head_sd(sd, rng, lateral_channels):
+    """FPN + FCOS + mask + maskiou sections (backbone-agnostic);
+    lateral_channels: the three bottom-up output widths at stages 3/4/5."""
+    conv, bn, gn, linear = _sd_builders(sd, rng)
+
+    for s, c in zip((3, 4, 5), lateral_channels):
         conv(f"backbone.fpn_lateral{s}", c, 256, k=1, bias=True)
         conv(f"backbone.fpn_output{s}", 256, 256, k=3, bias=True)
     conv("backbone.top_block.p6", 256, 256, k=3, bias=True)
@@ -131,6 +108,78 @@ def _make_state_dict(rng: np.random.RandomState):
     linear(f"{ih}maskiou_fc1", 256 * 7 * 7, 1024, std=0.01)
     linear(f"{ih}maskiou_fc2", 1024, 1024, std=0.02)
     linear(f"{ih}maskiou", 1024, NUM_CLASSES, std=0.02)
+
+
+def _make_state_dict(rng: np.random.RandomState):
+    """Reference-key-schema random checkpoint (detectron2 GeneralizedRCNN
+    naming; see checkpoint/convert_torch.py docstring)."""
+    sd = {}
+    conv, bn, gn, linear = _sd_builders(sd, rng)
+
+    bb = "backbone.bottom_up."
+    conv(f"{bb}stem.stem_1/conv", 3, STEM[0])
+    bn(f"{bb}stem.stem_1/norm", STEM[0])
+    conv(f"{bb}stem.stem_2/conv", STEM[0], STEM[1])
+    bn(f"{bb}stem.stem_2/norm", STEM[1])
+    conv(f"{bb}stem.stem_3/conv", STEM[1], STEM[2])
+    bn(f"{bb}stem.stem_3/norm", STEM[2])
+
+    in_ch = STEM[2]
+    for i in range(4):
+        stage = i + 2
+        mod = f"OSA{stage}_1"
+        ch = in_ch
+        for l in range(LAYER_PER_BLOCK):
+            conv(f"{bb}stage{stage}.{mod}.layers.{l}.{mod}_{l}/conv",
+                 ch, STAGE_CONV[i])
+            bn(f"{bb}stage{stage}.{mod}.layers.{l}.{mod}_{l}/norm",
+               STAGE_CONV[i])
+            ch = STAGE_CONV[i]
+        concat_in = in_ch + LAYER_PER_BLOCK * STAGE_CONV[i]
+        conv(f"{bb}stage{stage}.{mod}.concat.{mod}_concat/conv",
+             concat_in, STAGE_OUT[i], k=1)
+        bn(f"{bb}stage{stage}.{mod}.concat.{mod}_concat/norm", STAGE_OUT[i])
+        conv(f"{bb}stage{stage}.{mod}.ese.fc", STAGE_OUT[i], STAGE_OUT[i],
+             k=1, bias=True)
+        in_ch = STAGE_OUT[i]
+
+    _add_head_sd(sd, rng, STAGE_OUT[1:])
+    return sd
+
+
+# ResNet-50 test dims (narrow: width_per_group=16, res2_out=64, stem 16)
+RN_STEM = 16
+RN_RES2_OUT = 64
+RN_WIDTH = 16
+RN_BLOCKS = (3, 4, 6, 3)
+
+
+def _make_resnet_state_dict(rng: np.random.RandomState):
+    """detectron2 ResNet-50 key schema (stem.conv1, res{s}.{b}.conv{1..3}
+    [.norm], res{s}.{b}.shortcut) + the shared head sections."""
+    sd = {}
+    conv, bn, gn, linear = _sd_builders(sd, rng)
+
+    bb = "backbone.bottom_up."
+
+    def conv_norm(key, cin, cout, k=3):
+        conv(f"{bb}{key}", cin, cout, k=k)
+        bn(f"{bb}{key}.norm", cout)
+
+    conv_norm("stem.conv1", 3, RN_STEM, k=7)
+    in_ch, bott, out_ch = RN_STEM, RN_WIDTH, RN_RES2_OUT
+    for i, n_blocks in enumerate(RN_BLOCKS):
+        stage = i + 2
+        for b in range(n_blocks):
+            conv_norm(f"res{stage}.{b}.conv1", in_ch if b == 0 else out_ch,
+                      bott, k=1)
+            conv_norm(f"res{stage}.{b}.conv2", bott, bott, k=3)
+            conv_norm(f"res{stage}.{b}.conv3", bott, out_ch, k=1)
+            if b == 0:
+                conv_norm(f"res{stage}.{b}.shortcut", in_ch, out_ch, k=1)
+        in_ch, bott, out_ch = out_ch, bott * 2, out_ch * 2
+
+    _add_head_sd(sd, rng, (RN_RES2_OUT * 2, RN_RES2_OUT * 4, RN_RES2_OUT * 8))
     return sd
 
 
@@ -178,6 +227,43 @@ def _torch_backbone(x, sd):
         x = _conv_bn_relu(x, sd, f"{bb}stage{stage}.{mod}.concat.{mod}_concat",
                           pad=0)
         x = _ese(x, sd, f"{bb}stage{stage}.{mod}.ese.fc")
+        outs[f"stage{stage}"] = x
+    return outs
+
+
+def _rn_conv_bn(x, sd, key, stride=1, pad=0, relu=True):
+    """detectron2 Conv2d+FrozenBN with the resnet naming (key.norm.*)."""
+    x = TF.conv2d(x, _t(sd, f"{key}.weight"), stride=stride, padding=pad)
+    g, b, m, v = (_t(sd, f"{key}.norm.{s}") for s in
+                  ("weight", "bias", "running_mean", "running_var"))
+    scale = g / torch.sqrt(v + BN_EPS)
+    shift = b - m * scale
+    x = x * scale[None, :, None, None] + shift[None, :, None, None]
+    return TF.relu(x) if relu else x
+
+
+def _torch_resnet(x, sd):
+    """detectron2 ResNet-50 (BasicStem + Bottleneck, STRIDE_IN_1X1);
+    returns {"stage3/4/5"} so _torch_fpn applies unchanged."""
+    bb = "backbone.bottom_up."
+    x = _rn_conv_bn(x, sd, f"{bb}stem.conv1", stride=2, pad=3)
+    x = TF.max_pool2d(x, 3, stride=2, padding=1)
+    outs = {}
+    for i, n_blocks in enumerate(RN_BLOCKS):
+        stage = i + 2
+        first_stride = 1 if stage == 2 else 2
+        for b in range(n_blocks):
+            base = f"{bb}res{stage}.{b}"
+            s = first_stride if b == 0 else 1
+            out = _rn_conv_bn(x, sd, f"{base}.conv1", stride=s)  # stride_in_1x1
+            out = _rn_conv_bn(out, sd, f"{base}.conv2", stride=1, pad=1)
+            out = _rn_conv_bn(out, sd, f"{base}.conv3", relu=False)
+            if b == 0:
+                short = _rn_conv_bn(x, sd, f"{base}.shortcut", stride=s,
+                                    relu=False)
+            else:
+                short = x
+            x = TF.relu(out + short)
         outs[f"stage{stage}"] = x
     return outs
 
@@ -399,6 +485,71 @@ def test_full_model_torch_parity():
 
     np.testing.assert_array_equal(j_classes, t_classes)
     np.testing.assert_allclose(j_locs, t_locs, atol=1e-3)
+    np.testing.assert_allclose(j_scores, t_scores, rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(j_boxes, t_boxes, rtol=1e-3, atol=2e-2)
+    np.testing.assert_allclose(j_masks, t_masks, atol=2e-3)
+    np.testing.assert_allclose(j_mask_scores, t_mask_scores,
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_full_model_torch_parity_resnet():
+    """Same cross-framework ladder on the SECOND backbone family: a
+    complete torch ResNet-50 CenterMask whose detectron2-schema
+    state_dict goes through convert_checkpoint(backbone='resnet') and
+    must reproduce the JAX model's final outputs — exercises the resnet
+    converter path and FPN wiring the vovnet e2e test cannot."""
+    from centermask2_tpu.checkpoint.convert_torch import (convert_checkpoint,
+                                                          merge_params)
+    from centermask2_tpu.models import CenterMask
+
+    rng = np.random.RandomState(7)
+    sd = _make_resnet_state_dict(rng)
+
+    img = (rng.rand(CANVAS, CANVAS, 3).astype(np.float32) * 255.0
+           - np.asarray([103.53, 116.28, 123.675], np.float32))
+    xt = torch.from_numpy(img).permute(2, 0, 1)[None]
+
+    with torch.no_grad():
+        stages = _torch_resnet(xt, sd)
+        fpn = _torch_fpn(stages, sd)
+        logits, regs, ctrs = _torch_fcos_head(fpn, sd)
+        t_boxes, t_scores, t_classes, t_locs, n_cand = _np_decode(
+            logits, regs, ctrs)
+        assert len(t_boxes) > 3, "test needs detections to be meaningful"
+        assert n_cand < 3000, "candidate count must stay below the caps"
+        t_masks, t_mask_scores = _torch_roi_branch(
+            fpn, sd, t_boxes, t_classes, t_scores)
+
+    model = CenterMask(
+        backbone_type="resnet", resnet_depth=50,
+        resnet_stem_out_channels=RN_STEM,
+        resnet_res2_out_channels=RN_RES2_OUT,
+        resnet_width_per_group=RN_WIDTH,
+        fpn_in_features=("res3", "res4", "res5"),
+        num_classes=NUM_CLASSES, mask_on=True, maskiou_on=True,
+        pre_nms_topk_test=4096, nms_candidates=4096,
+        post_nms_topk_test=POST_NMS_TOPK, dtype=jnp.float32)
+    x = jnp.asarray(img[None])
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    converted, report = convert_checkpoint(sd, backbone="resnet",
+                                           resnet_depth=50)
+    params, missing = merge_params(
+        jax.tree.map(np.asarray, variables["params"]), converted)
+    assert not missing, f"converter left params uninitialized: {missing[:8]}"
+    assert report["unused_torch_keys"] == []
+    out = jax.jit(lambda v, im: model.apply(v, im))(
+        {"params": jax.tree.map(jnp.asarray, params)}, x)
+
+    valid = np.asarray(out.valid[0])
+    n = int(valid.sum())
+    assert n == len(t_boxes), (n, len(t_boxes))
+    j_boxes = np.asarray(out.pred_boxes[0])[:n]
+    j_scores = np.asarray(out.scores[0])[:n]
+    j_classes = np.asarray(out.pred_classes[0])[:n]
+    j_masks = np.asarray(out.pred_masks[0])[:n, 0]
+    j_mask_scores = np.asarray(out.mask_scores[0])[:n]
+
+    np.testing.assert_array_equal(j_classes, t_classes)
     np.testing.assert_allclose(j_scores, t_scores, rtol=2e-4, atol=1e-5)
     np.testing.assert_allclose(j_boxes, t_boxes, rtol=1e-3, atol=2e-2)
     np.testing.assert_allclose(j_masks, t_masks, atol=2e-3)
