@@ -42,7 +42,12 @@ class KRCNNConvDeconvUpsampleHead(nn.Module):
                 param_dtype=jnp.float32, name=f"conv_fcn{idx}",
             )(x)
             x = jax.nn.relu(x)
-        # torch ConvTranspose2d(k=4, s=2, p=1): kernel (kh,kw,out,in)
+        # torch ConvTranspose2d(k=4, s=2, p=1): kernel (kh,kw,out,in).
+        # lax.conv_transpose pad maps as k - 1 - torch_pad = 2 per side
+        # (verified value-exact vs torch); the previous ((1,1),(1,1))
+        # emitted a 26->52 grid instead of d2's 28->56 — self-consistent
+        # (loss targets and decode both adapt to the logits' grid) so
+        # only the cross-framework e2e test caught it.
         kernel = self.param(
             "score_lowres_kernel", kaiming_normal_fan_out(),
             (4, 4, self.num_keypoints, x.shape[-1]), jnp.float32)
@@ -51,7 +56,7 @@ class KRCNNConvDeconvUpsampleHead(nn.Module):
         dtype = self.dtype or x.dtype
         x = jax.lax.conv_transpose(
             x.astype(dtype), kernel.astype(dtype), strides=(2, 2),
-            padding=((1, 1), (1, 1)), transpose_kernel=True,
+            padding=((2, 2), (2, 2)), transpose_kernel=True,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         ) + bias.astype(dtype)
         # bilinear x2, align_corners=False (half-pixel centers)

@@ -378,11 +378,10 @@ def _np_decode(logits, regs, ctrs):
     return (boxes[keep], scores[keep], classes[keep], locs[keep], n_cand)
 
 
-def _torch_roi_branch(fpn_levels, sd, boxes, classes, scores):
-    """Ratio level assignment + ROIAlignV2 + SAG-Mask + MaskIoU."""
+def _torch_pool(fpn_levels, boxes):
+    """Ratio level assignment + ROIAlignV2 -> (R, 14, 14, 256)."""
     from test_ops import np_roi_align
 
-    mh, ih = "roi_heads.mask_head.", "roi_heads.maskiou_head."
     R = len(boxes)
     areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
     img_area = float(CANVAS * CANVAS)
@@ -397,6 +396,14 @@ def _torch_roi_branch(fpn_levels, sd, boxes, classes, scores):
         if len(sel):
             pooled[sel] = np_roi_align(
                 feat, boxes[sel], 1.0 / STRIDES[lvl], 14, 2, aligned=True)
+    return pooled
+
+
+def _torch_roi_branch(fpn_levels, sd, boxes, classes, scores):
+    """Ratio level assignment + ROIAlignV2 + SAG-Mask + MaskIoU."""
+    mh, ih = "roi_heads.mask_head.", "roi_heads.maskiou_head."
+    R = len(boxes)
+    pooled = _torch_pool(fpn_levels, boxes)
 
     x = torch.from_numpy(pooled).permute(0, 3, 1, 2)  # (R, 256, 14, 14)
     for k in range(1, 5):
@@ -555,3 +562,96 @@ def test_full_model_torch_parity_resnet():
     np.testing.assert_allclose(j_masks, t_masks, atol=2e-3)
     np.testing.assert_allclose(j_mask_scores, t_mask_scores,
                                rtol=2e-3, atol=2e-3)
+
+
+KP_CONV = 64
+KP_K = 17
+
+
+def test_full_model_torch_parity_keypoint():
+    """Third branch of the cross-framework ladder: KEYPOINT_ON. A torch
+    KRCNN head (8 convs + deconv4x4/s2 + bilinear x2, detectron2 key
+    schema) on the same torch backbone/FCOS must reproduce the JAX
+    model's keypoint heatmap logits (captured via flax intermediates)
+    and its decoded keypoints to one native heatmap cell."""
+    from centermask2_tpu.checkpoint.convert_torch import (convert_checkpoint,
+                                                          merge_params)
+    from centermask2_tpu.models import CenterMask
+    from centermask2_tpu.models.roi.keypoint_head import heatmaps_to_keypoints
+
+    rng = np.random.RandomState(13)
+    sd = _make_state_dict(rng)
+    # drop the (unused) mask/maskiou sections; add the keypoint head
+    sd = {k: v for k, v in sd.items() if not k.startswith(
+        ("roi_heads.mask_head.", "roi_heads.maskiou_head."))}
+    conv, bn, gn, linear = _sd_builders(sd, rng)
+    kh = "roi_heads.keypoint_head."
+    ch = 256
+    for k in range(1, 9):
+        conv(f"{kh}conv_fcn{k}", ch, KP_CONV, k=3, bias=True)
+        ch = KP_CONV
+    sd[f"{kh}score_lowres.weight"] = (
+        rng.randn(KP_CONV, KP_K, 4, 4).astype(np.float32) * 0.05)
+    sd[f"{kh}score_lowres.bias"] = rng.randn(KP_K).astype(np.float32) * 0.05
+
+    img = (rng.rand(CANVAS, CANVAS, 3).astype(np.float32) * 255.0
+           - np.asarray([103.53, 116.28, 123.675], np.float32))
+    xt = torch.from_numpy(img).permute(2, 0, 1)[None]
+
+    with torch.no_grad():
+        stages = _torch_backbone(xt, sd)
+        fpn = _torch_fpn(stages, sd)
+        logits, regs, ctrs = _torch_fcos_head(fpn, sd)
+        t_boxes, t_scores, t_classes, t_locs, n_cand = _np_decode(
+            logits, regs, ctrs)
+        assert len(t_boxes) > 3
+        x = torch.from_numpy(_torch_pool(fpn, t_boxes)).permute(0, 3, 1, 2)
+        for k in range(1, 9):
+            x = TF.relu(TF.conv2d(x, _t(sd, f"{kh}conv_fcn{k}.weight"),
+                                  _t(sd, f"{kh}conv_fcn{k}.bias"), padding=1))
+        x = TF.conv_transpose2d(x, _t(sd, f"{kh}score_lowres.weight"),
+                                _t(sd, f"{kh}score_lowres.bias"),
+                                stride=2, padding=1)
+        t_kp_logits = TF.interpolate(
+            x, scale_factor=2, mode="bilinear",
+            align_corners=False).permute(0, 2, 3, 1).numpy()  # (R,56,56,K)
+
+    model = CenterMask(
+        conv_body="V-19-slim-eSE", num_classes=NUM_CLASSES,
+        mask_on=False, maskiou_on=False, keypoint_on=True,
+        num_keypoints=KP_K, keypoint_conv_dims=(KP_CONV,) * 8,
+        pre_nms_topk_test=4096, nms_candidates=4096,
+        post_nms_topk_test=POST_NMS_TOPK, dtype=jnp.float32)
+    x_j = jnp.asarray(img[None])
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x_j)
+    converted, _ = convert_checkpoint(sd, conv_body="V-19-slim-eSE",
+                                      keypoint_num_conv=8)
+    params, missing = merge_params(
+        jax.tree.map(np.asarray, variables["params"]), converted)
+    assert not missing, f"converter left params uninitialized: {missing[:8]}"
+    v = {"params": jax.tree.map(jnp.asarray, params)}
+    out, inter = model.apply(
+        v, x_j,
+        capture_intermediates=lambda m, name: "keypoint_head"
+        in (getattr(m, "name", None) or ""))
+
+    valid = np.asarray(out.valid[0])
+    n = int(valid.sum())
+    assert n == len(t_boxes), (n, len(t_boxes))
+
+    # heatmap logits: the strong converter/wiring assertion
+    (j_kp_logits,) = jax.tree.leaves(
+        inter["intermediates"]["roi_heads"]["keypoint_head"])
+    j_kp_logits = np.asarray(j_kp_logits)[:n]
+    np.testing.assert_allclose(j_kp_logits, t_kp_logits, atol=2e-3)
+
+    # decoded keypoints: same decoder on both heatmaps -> one-cell agree
+    j_kp = np.asarray(out.pred_keypoints[0])[:n]  # (n, K, 3)
+    t_dec = np.asarray(heatmaps_to_keypoints(
+        jnp.asarray(t_kp_logits), jnp.asarray(t_boxes)))  # (n, K, 4)
+    w = t_boxes[:, 2] - t_boxes[:, 0]
+    h = t_boxes[:, 3] - t_boxes[:, 1]
+    tol_x = (w / 56 + 1e-2)[:, None]
+    tol_y = (h / 56 + 1e-2)[:, None]
+    assert (np.abs(j_kp[..., 0] - t_dec[..., 0]) <= tol_x).mean() > 0.97
+    assert (np.abs(j_kp[..., 1] - t_dec[..., 1]) <= tol_y).mean() > 0.97
