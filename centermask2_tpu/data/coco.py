@@ -87,6 +87,13 @@ def mask_patch_from_polygons(
     return mask.astype(np.float32)
 
 
+# detectron2's COCO person-keypoint horizontal-flip map: left/right
+# member indices to swap (d2 data/detection_utils.py create_keypoint_hflip
+# _indices; 0=nose has no pair)
+COCO_KEYPOINT_HFLIP_PAIRS = ((1, 2), (3, 4), (5, 6), (7, 8), (9, 10),
+                             (11, 12), (13, 14), (15, 16))
+
+
 def load_train_example(
     ds: CocoDataset,
     img_id: int,
@@ -97,8 +104,13 @@ def load_train_example(
     max_gt: int = 100,
     patch_size: int = 112,
     hflip: bool = False,
+    with_keypoints: bool = False,
+    num_keypoints: int = 17,
 ) -> Dict[str, np.ndarray]:
-    """One training example: resized/flipped/normalized image + padded GT."""
+    """One training example: resized/flipped/normalized image + padded GT.
+    ``with_keypoints`` adds "gt_keypoints" (max_gt, K, 3) x/y/vis in
+    network input coords (MODEL.KEYPOINT_ON training; flip swaps the
+    COCO left/right members like d2 transform_keypoint_annotations)."""
     from PIL import Image
 
     img = read_image_bgr(ds.image_path(img_id))
@@ -120,6 +132,8 @@ def load_train_example(
     classes = np.zeros((max_gt,), np.int32)
     valid = np.zeros((max_gt,), bool)
     patches = np.zeros((max_gt, patch_size, patch_size), np.float32)
+    keypoints = (np.zeros((max_gt, num_keypoints, 3), np.float32)
+                 if with_keypoints else None)
 
     anns = ds.img_to_anns[img_id][:max_gt]
     for i, ann in enumerate(anns):
@@ -144,8 +158,22 @@ def load_train_example(
                     p[:, 0] = neww - p[:, 0]
                 scaled.append(p.reshape(-1))
             patches[i] = mask_patch_from_polygons(scaled, boxes[i], patch_size)
+        if keypoints is not None and ann.get("keypoints"):
+            kp = np.asarray(ann["keypoints"], np.float32).reshape(-1, 3)
+            kp = kp[:num_keypoints]
+            kp[:, 0] *= sx
+            kp[:, 1] *= sy
+            if hflip:
+                # d2 transform_keypoint_annotations: mirror x, swap
+                # left/right members, keep visibility
+                kp[:, 0] = neww - kp[:, 0]
+                for a, b in COCO_KEYPOINT_HFLIP_PAIRS:
+                    if a < len(kp) and b < len(kp):
+                        kp[[a, b]] = kp[[b, a]]
+            kp[kp[:, 2] == 0] = 0  # d2: zero not-labeled keypoints
+            keypoints[i, : len(kp)] = kp
 
-    return {
+    out = {
         "image": padded,
         "gt_boxes": boxes,
         "gt_classes": classes,
@@ -154,6 +182,9 @@ def load_train_example(
         "image_size": np.array([newh, neww], np.int32),
         "image_id": img_id,
     }
+    if keypoints is not None:
+        out["gt_keypoints"] = keypoints
+    return out
 
 
 def train_batches(
@@ -170,6 +201,7 @@ def train_batches(
     workers: int = 0,
     random_flip: str = "horizontal",  # INPUT.RANDOM_FLIP: horizontal|none
     sampling: str = "choice",  # INPUT.MIN_SIZE_TRAIN_SAMPLING: choice|range
+    with_keypoints: bool = False,  # MODEL.KEYPOINT_ON: add gt_keypoints
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Infinite (or epochs-bounded) shuffled batch iterator with
     multi-scale jitter + random horizontal flip (INPUT.MIN_SIZE_TRAIN).
@@ -195,7 +227,7 @@ def train_batches(
             ds, batch_size, min_sizes=min_sizes, max_size=max_size,
             pad_to=pad_to, max_gt=max_gt, patch_size=patch_size, seed=seed,
             epochs=epochs, random_flip=random_flip, sampling=sampling,
-            pool=pool)
+            pool=pool, with_keypoints=with_keypoints)
     finally:
         if pool is not None:
             pool.shutdown(wait=False)
@@ -203,7 +235,7 @@ def train_batches(
 
 def _train_batches_inner(ds, batch_size, *, min_sizes, max_size, pad_to,
                          max_gt, patch_size, seed, epochs, random_flip,
-                         sampling, pool):
+                         sampling, pool, with_keypoints=False):
     rng = np.random.RandomState(seed)
     lo, hi = int(min(min_sizes)), int(max(min_sizes))
 
@@ -228,14 +260,15 @@ def _train_batches_inner(ds, batch_size, *, min_sizes, max_size, pad_to,
                 return load_train_example(
                     ds, job["img_id"], short_edge=job["short_edge"],
                     max_size=max_size, pad_to=pad_to, max_gt=max_gt,
-                    patch_size=patch_size, hflip=job["hflip"])
+                    patch_size=patch_size, hflip=job["hflip"],
+                    with_keypoints=with_keypoints)
 
             examples = list(pool.map(load, jobs) if pool else map(load, jobs))
-            batch = {
-                k: np.stack([e[k] for e in examples])
-                for k in ("image", "gt_boxes", "gt_classes", "gt_valid",
-                          "gt_mask_patches", "image_size")
-            }
+            keys = ["image", "gt_boxes", "gt_classes", "gt_valid",
+                    "gt_mask_patches", "image_size"]
+            if with_keypoints:
+                keys.append("gt_keypoints")
+            batch = {k: np.stack([e[k] for e in examples]) for k in keys}
             batch["image_ids"] = [e["image_id"] for e in examples]
             yield batch
         epoch += 1

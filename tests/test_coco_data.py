@@ -144,3 +144,61 @@ def test_train_batches_range_sampling(dataset):
                                epochs=10, seed=1, sampling="choice"):
         seen_c.update(batch["image_size"][:, 0].tolist())
     assert all(s in (64.0, 128.0, 96.0, 192.0) or s <= 192 for s in seen_c)
+
+
+def test_load_train_example_keypoints(dataset, tmp_path):
+    """Keypoint GT loading (MODEL.KEYPOINT_ON training): scale to the
+    resized image, d2 hflip semantics (mirror x, swap left/right
+    members, keep visibility)."""
+    import json as _json
+
+    from centermask2_tpu.data.coco import COCO_KEYPOINT_HFLIP_PAIRS
+
+    (tmp_path / "images").mkdir()
+    rng = np.random.RandomState(1)
+    Image.fromarray(rng.randint(0, 255, (200, 300, 3), np.uint8)).save(
+        tmp_path / "images" / "1.jpg")
+    kp = np.zeros((17, 3), np.float32)
+    kp[0] = [100, 50, 2]   # nose (no flip pair)
+    kp[1] = [90, 40, 2]    # left eye
+    kp[2] = [110, 40, 1]   # right eye
+    kp[15] = [80, 180, 2]  # left ankle
+    ann = {"id": 1, "image_id": 1, "category_id": 1, "iscrowd": 0,
+           "bbox": [10, 20, 120, 160], "area": 100,
+           "segmentation": [[10, 20, 130, 20, 130, 180, 10, 180]],
+           "keypoints": kp.flatten().tolist(), "num_keypoints": 4}
+    with open(tmp_path / "ann.json", "w") as f:
+        _json.dump({"images": [{"id": 1, "file_name": "1.jpg",
+                                "height": 200, "width": 300}],
+                    "annotations": [ann],
+                    "categories": [{"id": 1, "name": "person"}]}, f)
+    ds = CocoDataset(str(tmp_path / "ann.json"), str(tmp_path / "images"))
+
+    ex = load_train_example(ds, 1, short_edge=100, pad_to=(128, 160),
+                            max_gt=4, patch_size=16, with_keypoints=True)
+    got = ex["gt_keypoints"][0]  # scale 0.5
+    np.testing.assert_allclose(got[0], [50, 25, 2], atol=1e-5)
+    np.testing.assert_allclose(got[1], [45, 20, 2], atol=1e-5)
+    np.testing.assert_allclose(got[2], [55, 20, 1], atol=1e-5)
+    np.testing.assert_allclose(got[15], [40, 90, 2], atol=1e-5)
+    assert (got[3:15] == 0).all() and (got[16] == 0).all()
+
+    exf = load_train_example(ds, 1, short_edge=100, pad_to=(128, 160),
+                             max_gt=4, patch_size=16, with_keypoints=True,
+                             hflip=True)
+    gf = exf["gt_keypoints"][0]  # resized W=150; left/right eyes swap
+    np.testing.assert_allclose(gf[0], [150 - 50, 25, 2], atol=1e-5)
+    np.testing.assert_allclose(gf[1], [150 - 55, 20, 1], atol=1e-5)  # <- was right eye
+    np.testing.assert_allclose(gf[2], [150 - 45, 20, 2], atol=1e-5)  # <- was left eye
+    # left ankle (15) swaps with right ankle (16); the unset right
+    # ankle lands on 15 and is zeroed (d2: not-labeled keypoints -> 0)
+    np.testing.assert_allclose(gf[16], [150 - 40, 90, 2], atol=1e-5)
+    assert (gf[15] == 0).all()
+    assert (1, 2) in COCO_KEYPOINT_HFLIP_PAIRS
+
+    # batch iterator surfaces the field
+    it = train_batches(ds, 1, min_sizes=(100,), pad_to=(128, 160),
+                       max_gt=4, patch_size=16, epochs=1,
+                       with_keypoints=True, random_flip="none")
+    batch = next(it)
+    assert batch["gt_keypoints"].shape == (1, 4, 17, 3)

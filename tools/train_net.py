@@ -114,7 +114,8 @@ def main():
         seed=max(cfg.SEED, 0),
         random_flip=cfg.INPUT.RANDOM_FLIP,
         sampling=cfg.INPUT.MIN_SIZE_TRAIN_SAMPLING,
-        workers=cfg.DATALOADER.NUM_WORKERS), depth=2)
+        workers=cfg.DATALOADER.NUM_WORKERS,
+        with_keypoints=cfg.MODEL.KEYPOINT_ON), depth=2)
 
     # periodic evaluation resources, hoisted: one jitted forward, one
     # annotation parse for the whole run (TEST.EVAL_PERIOD)
@@ -147,6 +148,8 @@ def main():
             classes=jnp.asarray(batch["gt_classes"]),
             valid=jnp.asarray(batch["gt_valid"]),
             mask_patches=jnp.asarray(batch["gt_mask_patches"]),
+            keypoints=(jnp.asarray(batch["gt_keypoints"])
+                       if "gt_keypoints" in batch else None),
             image_sizes=jnp.asarray(batch["image_size"], jnp.float32))
         images = jnp.asarray(to_input(batch["image"]))
         images, gt = shard_batch((images, gt), mesh)
