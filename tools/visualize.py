@@ -20,7 +20,14 @@ import numpy as np
 COCO_CLASSES = None  # populated from --ann if given
 
 
-def draw(image_bgr, boxes, classes, scores, masks=None, class_names=None):
+# COCO person skeleton (1-based keypoint pairs, the d2/COCO rendering)
+COCO_SKELETON = ((16, 14), (14, 12), (17, 15), (15, 13), (12, 13), (6, 12),
+                 (7, 13), (6, 7), (6, 8), (7, 9), (8, 10), (9, 11), (2, 3),
+                 (1, 2), (1, 3), (2, 4), (3, 5), (4, 6), (5, 7))
+
+
+def draw(image_bgr, boxes, classes, scores, masks=None, class_names=None,
+         keypoints=None, kp_thresh=0.05):
     import cv2
 
     rng = np.random.RandomState(0)
@@ -38,6 +45,21 @@ def draw(image_bgr, boxes, classes, scores, masks=None, class_names=None):
             m = masks[i].astype(bool)
             overlay = out[m].astype(np.float32) * 0.5 + np.array(c) * 0.5
             out[m] = overlay.astype(np.uint8)
+        if keypoints is not None:
+            kp = np.asarray(keypoints[i])  # (K, 3) x, y, prob
+            vis = kp[:, 2] >= kp_thresh
+            for k in range(len(kp)):
+                if vis[k]:
+                    cv2.circle(out, (int(round(kp[k, 0])),
+                                     int(round(kp[k, 1]))), 3, c, -1)
+            if len(kp) == 17:  # COCO person skeleton
+                for a, b in COCO_SKELETON:
+                    if vis[a - 1] and vis[b - 1]:
+                        cv2.line(out,
+                                 (int(round(kp[a - 1, 0])),
+                                  int(round(kp[a - 1, 1]))),
+                                 (int(round(kp[b - 1, 0])),
+                                  int(round(kp[b - 1, 1]))), c, 1)
     return out
 
 
@@ -93,14 +115,16 @@ def main():
     valid = out.valid[0] & (out.scores[0] >= args.score_thresh)
     tup = (out.locations[0][valid], out.mask_scores[0][valid],
            out.pred_boxes[0][valid], out.pred_classes[0][valid],
-           out.pred_masks[0][valid], out.scores[0][valid])
+           out.pred_masks[0][valid], out.scores[0][valid],
+           out.pred_keypoints[0][valid]
+           if out.pred_keypoints is not None else None)
     wrapped = single_wrap_outputs(tup)
     h, w = pre["original_hw"]
     post = detector_postprocess(wrapped, h, w)
 
     orig = cv2.imread(args.image)
     vis = draw(orig, post["pred_boxes"], post["pred_classes"], post["scores"],
-               post["pred_masks"])
+               post["pred_masks"], keypoints=post.get("pred_keypoints"))
     cv2.imwrite(args.output, vis)
     print(f"wrote {args.output} with {len(post['pred_boxes'])} instances")
 
