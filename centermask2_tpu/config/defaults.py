@@ -137,6 +137,9 @@ _C.MODEL.ROI_MASKIOU_HEAD.NUM_CONV = 4
 
 _C.MODEL.ROI_KEYPOINT_HEAD = CN()
 _C.MODEL.ROI_KEYPOINT_HEAD.NAME = "KRCNNConvDeconvUpsampleHead"
+# intentionally inert: the keypoint branch shares CenterROIHeads' pooler
+# (ROI_HEADS.IN_FEATURES p3-p5, resolution 14, TPU.POOLER_SAMPLING_RATIO)
+# — this FPN has no p2, matching the reference's CenterMask keypoint path
 _C.MODEL.ROI_KEYPOINT_HEAD.IN_FEATURES = ["p2", "p3", "p4", "p5"]
 _C.MODEL.ROI_KEYPOINT_HEAD.POOLER_RESOLUTION = 14
 _C.MODEL.ROI_KEYPOINT_HEAD.POOLER_SAMPLING_RATIO = 0

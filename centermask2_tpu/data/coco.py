@@ -94,6 +94,27 @@ COCO_KEYPOINT_HFLIP_PAIRS = ((1, 2), (3, 4), (5, 6), (7, 8), (9, 10),
                              (11, 12), (13, 14), (15, 16))
 
 
+def filter_images_with_few_keypoints(ds: CocoDataset, min_kp: int) -> int:
+    """Drop training images whose annotations carry fewer than ``min_kp``
+    visible keypoints in total (d2 filter_images_with_few_keypoints —
+    MODEL.ROI_KEYPOINT_HEAD.MIN_KEYPOINTS_PER_IMAGE). Mutates ds.ids;
+    returns the number of images removed."""
+    if min_kp <= 0:
+        return 0
+
+    def n_visible(img_id):
+        n = 0
+        for a in ds.img_to_anns[img_id]:
+            kp = a.get("keypoints")
+            if kp:
+                n += int(sum(1 for v in kp[2::3] if v > 0))
+        return n
+
+    before = len(ds.ids)
+    ds.ids = [i for i in ds.ids if n_visible(i) >= min_kp]
+    return before - len(ds.ids)
+
+
 def load_train_example(
     ds: CocoDataset,
     img_id: int,

@@ -202,3 +202,33 @@ def test_load_train_example_keypoints(dataset, tmp_path):
                        with_keypoints=True, random_flip="none")
     batch = next(it)
     assert batch["gt_keypoints"].shape == (1, 4, 17, 3)
+
+
+def test_filter_images_with_few_keypoints(tmp_path):
+    """d2 filter_images_with_few_keypoints semantics
+    (MODEL.ROI_KEYPOINT_HEAD.MIN_KEYPOINTS_PER_IMAGE)."""
+    import json as _json
+
+    from centermask2_tpu.data.coco import filter_images_with_few_keypoints
+
+    (tmp_path / "images").mkdir()
+    images, anns = [], []
+    for i, nvis in [(1, 0), (2, 1), (3, 5)]:
+        Image.new("RGB", (40, 40)).save(tmp_path / "images" / f"{i}.jpg")
+        images.append({"id": i, "file_name": f"{i}.jpg",
+                       "height": 40, "width": 40})
+        kp = [0.0, 0.0, 0] * 17
+        for k in range(nvis):
+            kp[k * 3: k * 3 + 3] = [5.0 + k, 5.0, 2]
+        anns.append({"id": i, "image_id": i, "category_id": 1, "iscrowd": 0,
+                     "bbox": [1, 1, 20, 20], "area": 400,
+                     "keypoints": kp, "num_keypoints": nvis})
+    with open(tmp_path / "ann.json", "w") as f:
+        _json.dump({"images": images, "annotations": anns,
+                    "categories": [{"id": 1, "name": "person"}]}, f)
+    ds = CocoDataset(str(tmp_path / "ann.json"), str(tmp_path / "images"))
+    assert filter_images_with_few_keypoints(ds, 1) == 1
+    assert ds.ids == [2, 3]
+    assert filter_images_with_few_keypoints(ds, 2) == 1
+    assert ds.ids == [3]
+    assert filter_images_with_few_keypoints(ds, 0) == 0

@@ -103,6 +103,14 @@ def main():
 
     ds = CocoDataset(args.ann, args.image_root,
                      filter_empty=cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS)
+    if cfg.MODEL.KEYPOINT_ON:
+        from centermask2_tpu.data.coco import filter_images_with_few_keypoints
+        dropped = filter_images_with_few_keypoints(
+            ds, cfg.MODEL.ROI_KEYPOINT_HEAD.MIN_KEYPOINTS_PER_IMAGE)
+        if dropped:
+            print(f"dropped {dropped} images with < "
+                  f"{cfg.MODEL.ROI_KEYPOINT_HEAD.MIN_KEYPOINTS_PER_IMAGE} "
+                  "visible keypoints")
     print(f"{len(ds)} training images, {n_dev} devices, batch {batch_size}")
     from centermask2_tpu.data.prefetch import prefetch
     batches = prefetch(train_batches(
