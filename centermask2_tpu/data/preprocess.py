@@ -197,8 +197,9 @@ def s2d_pack_u8(image_hwc: np.ndarray,
     an int (square) or an (Fh, Fw) pair (rectangular — see
     s2d_pack_u8_tight)."""
     h, w, C = image_hwc.shape
-    fh, fw = ((fixed_size, fixed_size) if np.isscalar(fixed_size)
-              else tuple(fixed_size))
+    # np.ndim == 0 also catches numpy scalar ints (np.isscalar does not)
+    fh, fw = ((int(fixed_size),) * 2 if np.ndim(fixed_size) == 0
+              else tuple(int(v) for v in fixed_size))
     if h > fh or w > fw:
         raise ValueError(
             f"resized image ({h}x{w}) exceeds the padded canvas {fh}x{fw}")
