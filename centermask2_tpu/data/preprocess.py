@@ -203,7 +203,10 @@ def s2d_pack_u8(image_hwc: np.ndarray,
     if h > fh or w > fw:
         raise ValueError(
             f"resized image ({h}x{w}) exceeds the padded canvas {fh}x{fw}")
-    assert fh % 4 == 0 and fw % 4 == 0, (fh, fw)
+    if fh % 4 or fw % 4:
+        raise ValueError(
+            f"s2d canvas must be divisible by 4, got {fh}x{fw} (check "
+            "TPU.FIXED_EDGE_SIZE / TPU.SIZE_BUCKETS)")
     img = np.ascontiguousarray(image_hwc, np.uint8)
     lib = _s2d_lib()
     if lib is not None:
