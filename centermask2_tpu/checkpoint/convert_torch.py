@@ -202,6 +202,31 @@ def convert_resnet(cv: Converter, tpre: str, fpre: str, depth: int = 50) -> None
                 conv_norm(f"res{stage}.{b}.shortcut", f"res{stage}_{b}/shortcut")
 
 
+def convert_mobilenet(cv: Converter, tpre: str, fpre: str) -> None:
+    """Reference MobileNetV2 keys (mobilenet.py:22-116: features.0 =
+    Sequential(Conv2d, FrozenBN); features.{1..17}.conv = Sequential of
+    pw/dw/pw-linear convs each followed by FrozenBN, pw omitted when
+    expand_ratio == 1) -> flax (features{i}_conv/bn stem,
+    features{i}/conv{j}/bn{j} blocks). tpre e.g. 'backbone.bottom_up.'."""
+    from centermask2_tpu.models.backbones.mobilenet import (
+        INVERTED_RESIDUAL_SETTING,
+    )
+
+    cv.conv(f"{tpre}features.0.0", f"{fpre}features0_conv", bias=False)
+    cv.frozen_bn(f"{tpre}features.0.1", f"{fpre}features0_bn")
+    idx = 0
+    for t, c, n, s in INVERTED_RESIDUAL_SETTING:
+        for _ in range(n):
+            idx += 1
+            # torch Sequential indices of the convs (BN follows each)
+            seq = (0, 3, 6) if t != 1 else (0, 3)
+            for j, sq in enumerate(seq):
+                cv.conv(f"{tpre}features.{idx}.conv.{sq}",
+                        f"{fpre}features{idx}/conv{j}", bias=False)
+                cv.frozen_bn(f"{tpre}features.{idx}.conv.{sq + 1}",
+                             f"{fpre}features{idx}/bn{j}")
+
+
 def convert_fpn(cv: Converter, tpre: str, fpre: str, stages=(3, 4, 5),
                 top_levels: int = 2) -> None:
     for s in stages:
@@ -295,6 +320,8 @@ def convert_checkpoint(
         k.startswith("backbone.bottom_up.") for k in sd) else ""
     if backbone == "resnet":
         convert_resnet(cv, bpre, "backbone/", resnet_depth)
+    elif backbone == "mobilenet":
+        convert_mobilenet(cv, bpre, "backbone/")
     else:
         convert_vovnet(cv, bpre, "backbone/", STAGE_SPECS[conv_body])
     convert_fpn(cv, "backbone.", "fpn/", fpn_stages, top_levels)

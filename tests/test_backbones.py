@@ -241,3 +241,94 @@ def test_s2d_stem_exactly_matches_plain_conv_stem():
     assert out_s2d.shape == out_plain.shape == (1, 17, 21, 16)
     np.testing.assert_allclose(np.asarray(out_s2d), np.asarray(out_plain),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_mobilenet_block_matches_torch_through_converter():
+    """InvertedResidual (expand + depthwise + pw-linear, frozen BN,
+    relu6, residual) vs a direct torch composition, with weights going
+    through convert_mobilenet's key schema — the numerical check behind
+    the coverage test (reference mobilenet.py:38-76)."""
+    import torch
+    import torch.nn.functional as TF
+
+    from centermask2_tpu.checkpoint.convert_torch import (Converter,
+                                                          convert_mobilenet,
+                                                          merge_params)
+    from centermask2_tpu.models.backbones.mobilenet import MobileNetV2
+
+    rng = np.random.RandomState(0)
+    model = MobileNetV2(dtype=jnp.float32)
+    x = rng.randn(1, 64, 64, 3).astype(np.float32) * 5
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    flax_params = jax.tree.map(np.asarray, variables["params"])
+
+    # synthesize a torch sd over the full schema, convert, merge
+    cv = Converter({})
+    convert_mobilenet(cv, "backbone.bottom_up.", "")
+    from test_checkpoint import synth_torch_sd
+    sd = synth_torch_sd(flax_params, cv.report()["mapping"], rng)
+    # keep activations O(1) through 17 blocks: std-1 random convs push
+    # values onto the relu6 clamp boundaries where 1-ulp fp differences
+    # flip branches and compound with depth
+    for k, v in sd.items():
+        if k.endswith(".weight") and v.ndim == 4:
+            sd[k] = v * 0.1
+    cv2 = Converter(sd)
+    convert_mobilenet(cv2, "backbone.bottom_up.", "")
+    merged, missing = merge_params(flax_params, cv2.nest())
+    assert missing == []
+    out = model.apply({"params": jax.tree.map(jnp.asarray, merged)},
+                      jnp.asarray(x))
+
+    # torch forward of the same schema
+    def t(k):
+        return torch.from_numpy(sd[k])
+
+    def conv_bn(y, key, stride, groups=1, relu=True, pad=None):
+        w = t(f"{key[0]}.weight")
+        if pad is None:
+            pad = (w.shape[-1] - 1) // 2
+        y = TF.conv2d(y, w, stride=stride, padding=pad, groups=groups)
+        g, b, m, v = (t(f"{key[1]}.{s}") for s in
+                      ("weight", "bias", "running_mean", "running_var"))
+        scale = g / torch.sqrt(v + 1e-5)
+        y = y * scale[None, :, None, None] + (b - m * scale)[None, :, None, None]
+        return torch.clamp(y, 0.0, 6.0) if relu else y
+
+    from centermask2_tpu.models.backbones.mobilenet import (
+        INVERTED_RESIDUAL_SETTING, RETURN_FEATURES_INDICES)
+
+    bb = "backbone.bottom_up."
+    y = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    y = conv_bn(y, (f"{bb}features.0.0", f"{bb}features.0.1"), 2)
+    feats = {}
+    idx, res_i, in_ch = 0, 2, 32
+    for texp, c, n, s in INVERTED_RESIDUAL_SETTING:
+        for i in range(n):
+            idx += 1
+            stride = s if i == 0 else 1
+            hidden = int(round(in_ch * texp))
+            z = y
+            seq = (0, 3, 6) if texp != 1 else (0, 3)
+            base = f"{bb}features.{idx}.conv"
+            if texp != 1:
+                z = conv_bn(z, (f"{base}.0", f"{base}.1"), 1)
+                z = conv_bn(z, (f"{base}.3", f"{base}.4"), stride,
+                            groups=hidden)
+                z = conv_bn(z, (f"{base}.6", f"{base}.7"), 1, relu=False)
+            else:
+                z = conv_bn(z, (f"{base}.0", f"{base}.1"), stride,
+                            groups=hidden)
+                z = conv_bn(z, (f"{base}.3", f"{base}.4"), 1, relu=False)
+            y = y + z if (stride == 1 and in_ch == c) else z
+            in_ch = c
+            if idx in RETURN_FEATURES_INDICES:
+                feats[f"res{res_i}"] = y
+                res_i += 1
+
+    for k in out:
+        ref = np.transpose(feats[k].numpy(), (0, 2, 3, 1))
+        # 17 blocks of unnormalized random weights -> activations O(100);
+        # fp reassociation noise reaches ~6e-3 absolute
+        np.testing.assert_allclose(np.asarray(out[k]), ref,
+                                   rtol=1e-3, atol=2e-2)

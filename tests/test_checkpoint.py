@@ -128,3 +128,25 @@ def test_frozen_bn_fold_numeric():
     x = np.array([3.0, 2.0])
     expect = (x - mean) / np.sqrt(var) * w + b
     np.testing.assert_allclose(x * scale + shift, expect, rtol=1e-6)
+
+
+def test_mobilenet_full_coverage():
+    """Every MobileNetV2 flax param is fillable from the reference's
+    key schema (features.0.{0,1} stem; features.{i}.conv.{seq} blocks,
+    mobilenet.py:22-116) — incl. depthwise conv weight layout."""
+    model = CenterMask(backbone_type="mobilenet",
+                       fpn_in_features=("res3", "res4", "res5"),
+                       dtype=jnp.float32, post_nms_topk_test=5,
+                       pre_nms_topk_test=20, nms_candidates=20)
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))))
+    flax_params = jax.tree.map(lambda x: np.zeros(x.shape, np.float32),
+                               variables["params"])
+
+    _, report = convert_checkpoint({}, backbone="mobilenet")
+    rng = np.random.RandomState(0)
+    sd = synth_torch_sd(flax_params, report["mapping"], rng)
+    converted, report2 = convert_checkpoint(sd, backbone="mobilenet")
+    merged, missing = merge_params(flax_params, converted)
+    assert missing == [], f"unfilled params: {missing[:20]}"
+    assert report2["unused_torch_keys"] == []

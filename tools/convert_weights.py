@@ -55,7 +55,9 @@ def main():
     converted, report = convert_checkpoint(
         sd, conv_body=cfg.MODEL.VOVNET.CONV_BODY,
         backbone=("resnet" if "resnet" in cfg.MODEL.BACKBONE.NAME
-                  else "vovnet"),
+                  else "mobilenet"
+                  if ("mobilenet" in cfg.MODEL.BACKBONE.NAME
+                      or cfg.MODEL.MOBILENET) else "vovnet"),
         resnet_depth=cfg.MODEL.RESNETS.DEPTH)
     params, missing = merge_params(init, converted)
 

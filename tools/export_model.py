@@ -71,7 +71,9 @@ def main():
             conv, _ = convert_checkpoint(
                 sd, conv_body=cfg.MODEL.VOVNET.CONV_BODY,
                 backbone=("resnet" if "resnet" in cfg.MODEL.BACKBONE.NAME
-                          else "vovnet"),
+                          else "mobilenet"
+                          if ("mobilenet" in cfg.MODEL.BACKBONE.NAME
+                              or cfg.MODEL.MOBILENET) else "vovnet"),
                 resnet_depth=cfg.MODEL.RESNETS.DEPTH)
             params, missing = merge_params(
                 jax.tree.map(np.asarray, variables["params"]), conv)
