@@ -114,3 +114,67 @@ def test_train_cli_end_to_end(tiny_coco, tmp_path):
     # periodic eval logged AP scalars (TEST.EVAL_PERIOD)
     assert any("bbox/AP" in r for r in recs), r.stderr[-2000:]
     assert "eval @2:" in r.stdout
+
+
+@pytest.fixture(scope="module")
+def tiny_coco_kp(tmp_path_factory):
+    """Two-image person-keypoints dataset (17 visible kps per ann)."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("ds_kp")
+    (root / "images").mkdir()
+    rng = np.random.RandomState(3)
+    images, anns = [], []
+    for i in range(2):
+        w, h = 300, 260
+        Image.fromarray(rng.randint(0, 255, (h, w, 3), np.uint8)).save(
+            root / "images" / f"{i:012d}.jpg")
+        images.append({"id": i, "file_name": f"{i:012d}.jpg",
+                       "width": w, "height": h})
+        x0, y0, bw, bh = 40 + 30 * i, 50, 120, 90
+        kp = np.zeros((17, 3), np.float32)
+        kp[:, 0] = x0 + rng.rand(17) * bw
+        kp[:, 1] = y0 + rng.rand(17) * bh
+        kp[:, 2] = 2
+        anns.append({
+            "id": i + 1, "image_id": i, "category_id": 1,
+            "bbox": [x0, y0, bw, bh], "area": bw * bh, "iscrowd": 0,
+            "segmentation": [[x0, y0, x0 + bw, y0, x0 + bw, y0 + bh,
+                              x0, y0 + bh]],
+            "keypoints": kp.flatten().tolist(), "num_keypoints": 17})
+    with open(root / "ann.json", "w") as f:
+        json.dump({"images": images, "annotations": anns,
+                   "categories": [{"id": 1, "name": "person"}]}, f)
+    return root
+
+
+@pytest.mark.slow
+def test_train_cli_keypoint_end_to_end(tiny_coco_kp, tmp_path):
+    """KEYPOINT_ON training from real COCO keypoint annotations through
+    the CLI: gt_keypoints loading, MIN_KEYPOINTS_PER_IMAGE filter, and a
+    finite loss_keypoint in metrics.jsonl."""
+    out = tmp_path / "train_kp_out"
+    r = _run([
+        "tools/train_net.py",
+        "--ann", str(tiny_coco_kp / "ann.json"),
+        "--image-root", str(tiny_coco_kp / "images"),
+        "--max-iter", "1", "--log-every", "1",
+        "MODEL.MASK_ON", "False", "MODEL.MASKIOU_ON", "False",
+        "MODEL.KEYPOINT_ON", "True",
+        "MODEL.ROI_KEYPOINT_HEAD.CONV_DIMS", "(32, 32)",
+        "MODEL.FCOS.NUM_CLASSES", "1",
+        "TPU.FIXED_EDGE_SIZE", "256",
+        "MODEL.FCOS.PRE_NMS_TOPK_TRAIN", "50",
+        "MODEL.FCOS.POST_NMS_TOPK_TRAIN", "20",
+        "MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE", "32",
+        "TPU.MAX_FG_PROPOSALS", "8", "TPU.MAX_GT_INSTANCES", "8",
+        "SOLVER.IMS_PER_BATCH", "2",
+        "INPUT.MIN_SIZE_TRAIN", "(224,)", "INPUT.MAX_SIZE_TRAIN", "250",
+        "SOLVER.CHECKPOINT_PERIOD", "5",
+        "OUTPUT_DIR", str(out),
+    ] + TINY_OPTS, n_devices=2)
+    assert r.returncode == 0, r.stderr[-3000:]
+    recs = [json.loads(l)
+            for l in (out / "metrics.jsonl").read_text().strip().splitlines()]
+    assert any("loss_keypoint" in rec and np.isfinite(rec["loss_keypoint"])
+               for rec in recs), r.stdout[-2000:]
