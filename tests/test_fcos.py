@@ -357,3 +357,19 @@ def test_keypoints_to_heatmap_d2_semantics():
     assert list(np.asarray(valid)[0]) == [True, False, False, True]
     assert int(idx[0, 0]) == 28 * 56 + 28
     assert int(idx[0, 3]) == 0
+
+
+def test_krcnn_head_emits_d2_56_grid():
+    """Fast-tier guard for the deconv padding fix: 14x14 pooled features
+    must produce the d2 28->56 heatmap grid (torch ConvTranspose2d
+    k=4/s=2/p=1 maps to lax.conv_transpose pad k-1-p=2; pad 1 silently
+    emitted 26->52 and every per-module test adapted to it)."""
+    from centermask2_tpu.models.roi.keypoint_head import (
+        KRCNNConvDeconvUpsampleHead,
+    )
+
+    head = KRCNNConvDeconvUpsampleHead(num_keypoints=17, conv_dims=(32,) * 2,
+                                       dtype=jnp.float32)
+    x = jnp.zeros((2, 14, 14, 64))
+    v = head.init(jax.random.PRNGKey(0), x)
+    assert head.apply(v, x).shape == (2, 56, 56, 17)
