@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import queue
 import threading
-import time
 import weakref
 from typing import Iterable, Iterator, TypeVar
 
@@ -20,8 +19,7 @@ T = TypeVar("T")
 _DONE = object()
 
 
-def prefetch(it: Iterable[T], depth: int = 2,
-             idle_timeout: float = 600.0) -> Iterator[T]:
+def prefetch(it: Iterable[T], depth: int = 2) -> Iterator[T]:
     """Yield from ``it`` through a ``depth``-deep background queue.
 
     Exceptions in the producer re-raise at the consuming ``next()``.
@@ -29,24 +27,25 @@ def prefetch(it: Iterable[T], depth: int = 2,
     breaking out of the training loop) cannot hang interpreter exit.
     An abandoned consumer cannot leave the producer polling for the
     process lifetime either: the producer stops when (a) the consumer's
-    ``close()``/``finally`` runs, (b) the returned generator is
+    ``close()``/``finally`` runs, or (b) the returned generator is
     garbage-collected (weakref.finalize — covers reference cycles the
-    moment the cycle collector sees them), or (c) no item has moved
-    through the queue for ``idle_timeout`` seconds while it is full.
+    moment the cycle collector sees them). There is deliberately NO
+    idle timeout: a consumer legitimately stalls for long stretches
+    (periodic COCO eval, first-step jit compile), and treating a full
+    queue as abandonment turned those stalls into silent mid-run hangs.
+    Conversely the consumer polls with a timeout and raises if the
+    producer thread died without delivering its sentinel, so producer
+    death can never strand the training loop on a bare ``q.get()``.
     """
     q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
     stop = threading.Event()
-    last_activity = [time.monotonic()]
 
     def put_or_stop(item) -> bool:
         while not stop.is_set():
             try:
                 q.put(item, timeout=0.1)
-                last_activity[0] = time.monotonic()
                 return True
             except queue.Full:
-                if time.monotonic() - last_activity[0] > idle_timeout:
-                    return False  # consumer stopped taking items
                 continue
         return False
 
@@ -65,8 +64,14 @@ def prefetch(it: Iterable[T], depth: int = 2,
         t.start()
         try:
             while True:
-                item = q.get()
-                last_activity[0] = time.monotonic()
+                try:
+                    item = q.get(timeout=5.0)
+                except queue.Empty:
+                    if not t.is_alive() and q.empty():
+                        raise RuntimeError(
+                            "prefetch producer thread died without a "
+                            "sentinel") from None
+                    continue
                 if item is _DONE:
                     return
                 if isinstance(item, BaseException):

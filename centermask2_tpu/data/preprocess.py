@@ -123,6 +123,37 @@ _S2D_LIB = None
 _S2D_LOCK = threading.Lock()
 
 
+def _build_s2d_so() -> None:
+    """Compile the kernel if stale. Cross-process safe: an fcntl lock
+    serializes concurrent builders (multi-host launch, pytest-xdist,
+    train+eval sharing a checkout), and the compile goes to a temp file
+    that is os.rename()d into place (atomic on POSIX) so no process can
+    ever CDLL a partially written .so."""
+    import fcntl
+    import tempfile
+
+    with open(_S2D_SRC + ".lock", "a+") as lockf:
+        fcntl.flock(lockf, fcntl.LOCK_EX)
+        try:
+            if (os.path.exists(_S2D_SO)
+                    and os.path.getmtime(_S2D_SO)
+                    >= os.path.getmtime(_S2D_SRC)):
+                return
+            fd, tmp = tempfile.mkstemp(
+                suffix=".so", dir=os.path.dirname(_S2D_SO))
+            os.close(fd)
+            try:
+                subprocess.check_call(
+                    ["g++", "-O3", "-march=native", "-fopenmp", "-shared",
+                     "-fPIC", "-std=c++17", "-o", tmp, _S2D_SRC])
+                os.rename(tmp, _S2D_SO)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+        finally:
+            fcntl.flock(lockf, fcntl.LOCK_UN)
+
+
 def _s2d_lib():
     """Build (once) and load the fused native preprocessing kernel.
     Returns None when no compiler is available (numpy fallback)."""
@@ -130,12 +161,7 @@ def _s2d_lib():
     with _S2D_LOCK:
         if _S2D_LIB is None:
             try:
-                if (not os.path.exists(_S2D_SO)
-                        or os.path.getmtime(_S2D_SO)
-                        < os.path.getmtime(_S2D_SRC)):
-                    subprocess.check_call(
-                        ["g++", "-O3", "-march=native", "-fopenmp", "-shared",
-                         "-fPIC", "-std=c++17", "-o", _S2D_SO, _S2D_SRC])
+                _build_s2d_so()
                 lib = ctypes.CDLL(_S2D_SO)
                 i64 = ctypes.c_int64
                 f32p = np.ctypeslib.ndpointer(np.float32)
@@ -170,6 +196,8 @@ def s2d_preprocess(image_hwc: np.ndarray,
         raise ValueError(
             f"resized image ({h}x{w}) exceeds the padded canvas "
             f"{fixed_size}x{fixed_size}")
+    if C > 16:  # native kernel's per-phase mean buffer holds 4*C floats
+        raise ValueError(f"s2d_preprocess supports C <= 16 channels, got {C}")
     assert fixed_size % 4 == 0, fixed_size
     lib = _s2d_lib()
     if lib is not None:
@@ -203,6 +231,8 @@ def s2d_pack_u8(image_hwc: np.ndarray,
     if h > fh or w > fw:
         raise ValueError(
             f"resized image ({h}x{w}) exceeds the padded canvas {fh}x{fw}")
+    if C > 16:  # native kernel's per-phase mean buffer holds 4*C floats
+        raise ValueError(f"s2d_pack_u8 supports C <= 16 channels, got {C}")
     if fh % 4 or fw % 4:
         raise ValueError(
             f"s2d canvas must be divisible by 4, got {fh}x{fw} (check "

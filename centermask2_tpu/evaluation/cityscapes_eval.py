@@ -132,12 +132,14 @@ class CityscapesSemSegEvaluator:
         self._written.append(path)
 
     def evaluate(self, gt_dir: Optional[str] = None) -> Dict[str, float]:
-        """Score the written label pngs with the BUILT-IN official
-        pixel-level algorithm (evaluation/cityscapes_semseg.py — class
-        mIoU, category IoU_sup, and the instance-weighted iIoU variants
-        when instanceIds files exist). Returns the reference's metric
-        block (cityscapes_evaluation.py:192-197) with no
-        cityscapesscripts dependency."""
+        """Score the written label pngs with the built-in pixel-level
+        scorer (evaluation/cityscapes_semseg.py — class mIoU and
+        category IoU_sup per the official algorithm, plus
+        iIoU_datanorm variants when instanceIds files exist; the iIoU
+        normalizer is data-derived, NOT the official train-split
+        constants — see that module's docstring). Returns the
+        reference's metric block (cityscapes_evaluation.py:192-197)
+        with no cityscapesscripts dependency."""
         if gt_dir is None:
             return {
                 "note": "no gt_dir given; predictions written to "

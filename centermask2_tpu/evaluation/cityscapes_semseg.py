@@ -21,7 +21,9 @@ Official scoring rules implemented here:
   script uses fixed average instance sizes precomputed on the train
   split; offline we compute them from the evaluated ground truth —
   metric definition identical, normalization constants derived from
-  the data at hand.
+  the data at hand. To keep that distinction visible these metrics are
+  reported as ``iIoU_datanorm`` / ``iIoU_sup_datanorm``, NOT ``iIoU``:
+  they will not numerically reproduce official-protocol iIoU.
 """
 
 from __future__ import annotations
@@ -191,8 +193,15 @@ def score_semseg(
         icats = sorted({LABELS[c][1] for c in INSTANCE_EVAL_IDS})
         icat_vals = [stats.category_iiou(conf, c) for c in icats]
         icat_vals = [v for v in icat_vals if not np.isnan(v)]
-        out["iIoU"] = 100.0 * float(np.mean(ivals)) if ivals else float("nan")
-        out["iIoU_sup"] = 100.0 * float(np.mean(icat_vals)) \
+        # _datanorm suffix: instance weights use the average instance
+        # size computed from the EVALUATED ground truth, not the official
+        # cityscapesscripts avgClassSize/avgCategorySize constants
+        # (precomputed on the train split) — same algorithm, different
+        # normalizer, so these are deliberately NOT named iIoU to avoid
+        # being mistaken for official-protocol numbers.
+        out["iIoU_datanorm"] = (100.0 * float(np.mean(ivals))
+                                if ivals else float("nan"))
+        out["iIoU_sup_datanorm"] = 100.0 * float(np.mean(icat_vals)) \
             if icat_vals else float("nan")
     return out
 

@@ -123,6 +123,43 @@ def test_prefetch_abandoned_consumer_stops_producer():
     assert not alive, "prefetch producer thread still alive after close()"
 
 
+def test_prefetch_survives_slow_consumer():
+    """A consumer that stalls with the queue full (periodic eval, first
+    jit compile) must not be treated as abandonment: every remaining
+    item still arrives afterwards. Regression for the idle-timeout
+    silent-hang (ADVICE r3, high)."""
+    import time
+
+    from centermask2_tpu.data.prefetch import prefetch
+
+    it = prefetch(iter(range(8)), depth=1)
+    got = [next(it)]
+    time.sleep(1.0)  # queue full the whole time; producer must wait
+    got += list(it)
+    assert got == list(range(8))
+
+
+def test_prefetch_detects_dead_producer(monkeypatch):
+    """If the producer thread dies without delivering its sentinel the
+    consumer must raise, never block forever on the queue."""
+    import queue as queue_mod
+
+    from centermask2_tpu.data import prefetch as mod
+
+    # Force the sentinel put to fail so the thread exits sentinel-less.
+    class DroppyQueue(queue_mod.Queue):
+        def put(self, item, *a, **kw):
+            if item is mod._DONE or isinstance(item, BaseException):
+                raise SystemExit  # kills the producer thread silently
+            super().put(item, *a, **kw)
+
+    monkeypatch.setattr(mod.queue, "Queue", DroppyQueue)
+    it = mod.prefetch(iter([1]), depth=1)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="died without a sentinel"):
+        next(it)
+
+
 def test_train_batches_range_sampling(dataset):
     """INPUT.MIN_SIZE_TRAIN_SAMPLING='range' draws short edges uniformly
     from [min, max] instead of only the listed sizes (d2

@@ -650,8 +650,8 @@ def test_semseg_iiou_weights_instances_equally():
     res = score_semseg([(pred, gt)], [(pred, inst)])
     # plain IoU = 900/1000; iIoU weights both instances equally -> 1/2
     assert res["IoU-person"] == pytest.approx(90.0)
-    assert res["iIoU"] == pytest.approx(50.0)
-    assert res["iIoU_sup"] == pytest.approx(50.0)
+    assert res["iIoU_datanorm"] == pytest.approx(50.0)
+    assert res["iIoU_sup_datanorm"] == pytest.approx(50.0)
 
 
 def test_cityscapes_semseg_evaluator_end_to_end(tmp_path):
