@@ -116,6 +116,61 @@ def test_train_cli_end_to_end(tiny_coco, tmp_path):
     assert "eval @2:" in r.stdout
 
 
+@pytest.mark.slow
+def test_ap_parity_drill(tiny_coco, tmp_path):
+    """The AP-parity readiness drill (README "AP-parity drill" section),
+    exercised end to end in CI on synthetic data: a reference-key-schema
+    .pth on disk -> tools/convert_weights.py (must report FULL key
+    coverage) -> tools/infer.py --weights <orbax_dir> -> AP table. With
+    real COCO val2017 and the released centermask2-V-39-eSE-FPN-ms-3x
+    checkpoint, the identical sequence produces the
+    reference-README:171-173 comparison numbers."""
+    import torch
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_e2e_torch import _make_state_dict
+
+    sd = _make_state_dict(np.random.RandomState(11), num_classes=1)
+    pth = tmp_path / "drill_ckpt.pth"
+    # the reference release wraps weights as {"model": state_dict}
+    torch.save({"model": {k: torch.from_numpy(v) for k, v in sd.items()}},
+               str(pth))
+
+    ckpt_dir = tmp_path / "converted"
+    drill_opts = TINY_OPTS + ["MODEL.FCOS.NUM_CLASSES", "1"]
+    r = _run([
+        "tools/convert_weights.py", "--pth", str(pth),
+        "--config-file", "configs/centermask/zy_model_config.yaml",
+        "--out", str(ckpt_dir),
+    ] + drill_opts)
+    assert r.returncode == 0, r.stderr[-3000:]
+    # the drill checklist: conversion must be COMPLETE — any missing or
+    # unused key means the checkpoint/config pairing is wrong
+    assert "missing: 0" in r.stdout, r.stdout[-2000:]
+    assert "unused torch keys" not in r.stdout, r.stdout[-2000:]
+    assert (ckpt_dir).exists()
+
+    out = tmp_path / "drill_out"
+    r = _run([
+        "tools/infer.py",
+        "--config-file", "configs/centermask/zy_model_config.yaml",
+        "--ann", str(tiny_coco / "ann.json"),
+        "--image-root", str(tiny_coco / "images"),
+        "--weights", str(ckpt_dir),
+        "--output-dir", str(out),
+        "TPU.FIXED_EDGE_SIZE", "320",
+        "MODEL.FCOS.PRE_NMS_TOPK_TEST", "50",
+        "INPUT.MIN_SIZE_TEST", "256", "INPUT.MAX_SIZE_TEST", "312",
+    ] + drill_opts)
+    assert r.returncode == 0, r.stderr[-3000:]
+    metrics = json.loads((out / "metrics.json").read_text())
+    assert set(metrics) >= {"bbox", "segm"}
+    # the AP table rows the drill compares against the reference README
+    for task in ("bbox", "segm"):
+        assert all(k in metrics[task] for k in ("AP", "AP50", "AP75"))
+    assert "copypaste: AP,AP50,AP75,APs,APm,APl,AR1,AR10,AR100" in r.stdout
+
+
 @pytest.fixture(scope="module")
 def tiny_coco_kp(tmp_path_factory):
     """Two-image person-keypoints dataset (17 visible kps per ann)."""

@@ -64,9 +64,10 @@ def _sd_builders(sd, rng):
     return conv, bn, gn, linear
 
 
-def _add_head_sd(sd, rng, lateral_channels):
+def _add_head_sd(sd, rng, lateral_channels, num_classes=NUM_CLASSES):
     """FPN + FCOS + mask + maskiou sections (backbone-agnostic);
     lateral_channels: the three bottom-up output widths at stages 3/4/5."""
+    NUM_CLASSES = num_classes  # noqa: N806 — shadow for the body below
     conv, bn, gn, linear = _sd_builders(sd, rng)
 
     for s, c in zip((3, 4, 5), lateral_channels):
@@ -110,40 +111,48 @@ def _add_head_sd(sd, rng, lateral_channels):
     linear(f"{ih}maskiou", 1024, NUM_CLASSES, std=0.02)
 
 
-def _make_state_dict(rng: np.random.RandomState):
+def _make_state_dict(rng: np.random.RandomState, stem=STEM,
+                     stage_conv=STAGE_CONV, stage_out=STAGE_OUT,
+                     layer_per_block=LAYER_PER_BLOCK,
+                     block_per_stage=(1, 1, 1, 1),
+                     num_classes=NUM_CLASSES):
     """Reference-key-schema random checkpoint (detectron2 GeneralizedRCNN
-    naming; see checkpoint/convert_torch.py docstring)."""
+    naming; see checkpoint/convert_torch.py docstring). Multi-block stages
+    emit OSA{stage}_{b} sections with the block-2+ input width equal to
+    the stage output (identity residual, reference vovnet.py:310-332)."""
     sd = {}
     conv, bn, gn, linear = _sd_builders(sd, rng)
 
     bb = "backbone.bottom_up."
-    conv(f"{bb}stem.stem_1/conv", 3, STEM[0])
-    bn(f"{bb}stem.stem_1/norm", STEM[0])
-    conv(f"{bb}stem.stem_2/conv", STEM[0], STEM[1])
-    bn(f"{bb}stem.stem_2/norm", STEM[1])
-    conv(f"{bb}stem.stem_3/conv", STEM[1], STEM[2])
-    bn(f"{bb}stem.stem_3/norm", STEM[2])
+    conv(f"{bb}stem.stem_1/conv", 3, stem[0])
+    bn(f"{bb}stem.stem_1/norm", stem[0])
+    conv(f"{bb}stem.stem_2/conv", stem[0], stem[1])
+    bn(f"{bb}stem.stem_2/norm", stem[1])
+    conv(f"{bb}stem.stem_3/conv", stem[1], stem[2])
+    bn(f"{bb}stem.stem_3/norm", stem[2])
 
-    in_ch = STEM[2]
+    in_ch = stem[2]
     for i in range(4):
         stage = i + 2
-        mod = f"OSA{stage}_1"
-        ch = in_ch
-        for l in range(LAYER_PER_BLOCK):
-            conv(f"{bb}stage{stage}.{mod}.layers.{l}.{mod}_{l}/conv",
-                 ch, STAGE_CONV[i])
-            bn(f"{bb}stage{stage}.{mod}.layers.{l}.{mod}_{l}/norm",
-               STAGE_CONV[i])
-            ch = STAGE_CONV[i]
-        concat_in = in_ch + LAYER_PER_BLOCK * STAGE_CONV[i]
-        conv(f"{bb}stage{stage}.{mod}.concat.{mod}_concat/conv",
-             concat_in, STAGE_OUT[i], k=1)
-        bn(f"{bb}stage{stage}.{mod}.concat.{mod}_concat/norm", STAGE_OUT[i])
-        conv(f"{bb}stage{stage}.{mod}.ese.fc", STAGE_OUT[i], STAGE_OUT[i],
-             k=1, bias=True)
-        in_ch = STAGE_OUT[i]
+        for b in range(block_per_stage[i]):
+            mod = f"OSA{stage}_{b + 1}"
+            ch = in_ch
+            for l in range(layer_per_block):
+                conv(f"{bb}stage{stage}.{mod}.layers.{l}.{mod}_{l}/conv",
+                     ch, stage_conv[i])
+                bn(f"{bb}stage{stage}.{mod}.layers.{l}.{mod}_{l}/norm",
+                   stage_conv[i])
+                ch = stage_conv[i]
+            concat_in = in_ch + layer_per_block * stage_conv[i]
+            conv(f"{bb}stage{stage}.{mod}.concat.{mod}_concat/conv",
+                 concat_in, stage_out[i], k=1)
+            bn(f"{bb}stage{stage}.{mod}.concat.{mod}_concat/norm",
+               stage_out[i])
+            conv(f"{bb}stage{stage}.{mod}.ese.fc", stage_out[i],
+                 stage_out[i], k=1, bias=True)
+            in_ch = stage_out[i]
 
-    _add_head_sd(sd, rng, STAGE_OUT[1:])
+    _add_head_sd(sd, rng, stage_out[1:], num_classes=num_classes)
     return sd
 
 
@@ -207,7 +216,8 @@ def _ese(x, sd, base):
     return x * gate[:, :, None, None]
 
 
-def _torch_backbone(x, sd):
+def _torch_backbone(x, sd, layer_per_block=LAYER_PER_BLOCK,
+                    block_per_stage=(1, 1, 1, 1)):
     bb = "backbone.bottom_up."
     x = _conv_bn_relu(x, sd, f"{bb}stem.stem_1", stride=2)
     x = _conv_bn_relu(x, sd, f"{bb}stem.stem_2", stride=1)
@@ -217,16 +227,20 @@ def _torch_backbone(x, sd):
         stage = i + 2
         if stage > 2:
             x = TF.max_pool2d(x, 3, stride=2, ceil_mode=True)
-        mod = f"OSA{stage}_1"
-        feats = [x]
-        for l in range(LAYER_PER_BLOCK):
+        for b in range(block_per_stage[i]):
+            mod = f"OSA{stage}_{b + 1}"
+            identity = x
+            feats = [x]
+            for l in range(layer_per_block):
+                x = _conv_bn_relu(
+                    x, sd, f"{bb}stage{stage}.{mod}.layers.{l}.{mod}_{l}")
+                feats.append(x)
+            x = torch.cat(feats, dim=1)
             x = _conv_bn_relu(
-                x, sd, f"{bb}stage{stage}.{mod}.layers.{l}.{mod}_{l}")
-            feats.append(x)
-        x = torch.cat(feats, dim=1)
-        x = _conv_bn_relu(x, sd, f"{bb}stage{stage}.{mod}.concat.{mod}_concat",
-                          pad=0)
-        x = _ese(x, sd, f"{bb}stage{stage}.{mod}.ese.fc")
+                x, sd, f"{bb}stage{stage}.{mod}.concat.{mod}_concat", pad=0)
+            x = _ese(x, sd, f"{bb}stage{stage}.{mod}.ese.fc")
+            if b > 0:  # identity residual (reference vovnet.py:310-332)
+                x = x + identity
         outs[f"stage{stage}"] = x
     return outs
 
@@ -562,6 +576,183 @@ def test_full_model_torch_parity_resnet():
     np.testing.assert_allclose(j_masks, t_masks, atol=2e-3)
     np.testing.assert_allclose(j_mask_scores, t_mask_scores,
                                rtol=2e-3, atol=2e-3)
+
+
+# Narrow V-39-shaped spec: same STRUCTURE as VoVNet39_eSE —
+# block_per_stage [1, 1, 2, 2], so stages 4/5 cross the OSA
+# identity-residual add (reference vovnet.py:310-332) and the converter
+# must map the OSA{4,5}_2 key sections — at test widths.
+V39_MINI = dict(
+    stem=[16, 16, 32], stage_conv_ch=[16, 20, 24, 28],
+    stage_out_ch=[32, 64, 96, 128], layer_per_block=3,
+    block_per_stage=[1, 1, 2, 2], eSE=True, dw=False)
+
+
+def test_full_model_torch_parity_residual_osa(monkeypatch):
+    """Cross-framework e2e on a block_per_stage>1 VoVNet: the OSA
+    identity-residual path (V-39/57/99's OSA{4,5}_{2+} modules,
+    reference vovnet.py:310-332) and its converter keys cross frameworks.
+    The V-19 e2e test cannot reach this path (all its stages are
+    single-block); per-module oracles cannot catch residual-wiring or
+    key-schema bugs across the whole graph."""
+    import centermask2_tpu.models.backbones.vovnet as vovnet_mod
+    from centermask2_tpu.checkpoint.convert_torch import (convert_checkpoint,
+                                                          merge_params)
+    from centermask2_tpu.models import CenterMask
+
+    monkeypatch.setitem(vovnet_mod.STAGE_SPECS, "V-39-mini-eSE", V39_MINI)
+
+    rng = np.random.RandomState(23)
+    bps = tuple(V39_MINI["block_per_stage"])
+    sd = _make_state_dict(
+        rng, stem=V39_MINI["stem"], stage_conv=V39_MINI["stage_conv_ch"],
+        stage_out=V39_MINI["stage_out_ch"],
+        layer_per_block=V39_MINI["layer_per_block"], block_per_stage=bps)
+
+    img = (rng.rand(CANVAS, CANVAS, 3).astype(np.float32) * 255.0
+           - np.asarray([103.53, 116.28, 123.675], np.float32))
+    xt = torch.from_numpy(img).permute(2, 0, 1)[None]
+
+    with torch.no_grad():
+        stages = _torch_backbone(
+            xt, sd, layer_per_block=V39_MINI["layer_per_block"],
+            block_per_stage=bps)
+        fpn = _torch_fpn(stages, sd)
+        logits, regs, ctrs = _torch_fcos_head(fpn, sd)
+        t_boxes, t_scores, t_classes, t_locs, n_cand = _np_decode(
+            logits, regs, ctrs)
+        assert len(t_boxes) > 3, "test needs detections to be meaningful"
+        assert n_cand < 3000, "candidate count must stay below the caps"
+        t_masks, t_mask_scores = _torch_roi_branch(
+            fpn, sd, t_boxes, t_classes, t_scores)
+
+    model = CenterMask(
+        conv_body="V-39-mini-eSE", num_classes=NUM_CLASSES,
+        mask_on=True, maskiou_on=True,
+        pre_nms_topk_test=4096, nms_candidates=4096,
+        post_nms_topk_test=POST_NMS_TOPK, dtype=jnp.float32)
+    x = jnp.asarray(img[None])
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    converted, report = convert_checkpoint(sd, conv_body="V-39-mini-eSE")
+    params, missing = merge_params(
+        jax.tree.map(np.asarray, variables["params"]), converted)
+    assert not missing, f"converter left params uninitialized: {missing[:8]}"
+    # the OSA*_2 residual-block keys must actually have been consumed
+    assert report["unused_torch_keys"] == []
+    out = jax.jit(lambda v, im: model.apply(v, im))(
+        {"params": jax.tree.map(jnp.asarray, params)}, x)
+
+    valid = np.asarray(out.valid[0])
+    n = int(valid.sum())
+    assert n == len(t_boxes), (n, len(t_boxes))
+    j_boxes = np.asarray(out.pred_boxes[0])[:n]
+    j_scores = np.asarray(out.scores[0])[:n]
+    j_classes = np.asarray(out.pred_classes[0])[:n]
+    j_masks = np.asarray(out.pred_masks[0])[:n, 0]
+    j_mask_scores = np.asarray(out.mask_scores[0])[:n]
+
+    np.testing.assert_array_equal(j_classes, t_classes)
+    np.testing.assert_allclose(j_scores, t_scores, rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(j_boxes, t_boxes, rtol=1e-3, atol=2e-2)
+    np.testing.assert_allclose(j_masks, t_masks, atol=2e-3)
+    np.testing.assert_allclose(j_mask_scores, t_mask_scores,
+                               rtol=2e-3, atol=2e-3)
+
+
+def _box_iou_matrix(a, b):
+    """IoU between two (N, 4) / (M, 4) xyxy box sets."""
+    ix0 = np.maximum(a[:, None, 0], b[None, :, 0])
+    iy0 = np.maximum(a[:, None, 1], b[None, :, 1])
+    ix1 = np.minimum(a[:, None, 2], b[None, :, 2])
+    iy1 = np.minimum(a[:, None, 3], b[None, :, 3])
+    inter = np.clip(ix1 - ix0, 0, None) * np.clip(iy1 - iy0, 0, None)
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    return inter / np.maximum(area_a[:, None] + area_b[None, :] - inter,
+                              1e-9)
+
+
+def test_bf16_inference_drift_vs_f32():
+    """The SHIPPED numeric path: every deployment config runs
+    dtype=bfloat16, while all cross-framework oracles force f32. Run the
+    same converted checkpoint through the full inference graph in both
+    dtypes and bound the drift on the final boxes/scores/masks — pinning
+    the class of silent dtype bugs (e.g. the round-3 FCOS-head f32
+    promotion) that per-module f32 oracles can never see."""
+    from centermask2_tpu.checkpoint.convert_torch import (convert_checkpoint,
+                                                          merge_params)
+    from centermask2_tpu.models import CenterMask
+
+    rng = np.random.RandomState(42)
+    sd = _make_state_dict(rng)
+    img = (rng.rand(CANVAS, CANVAS, 3).astype(np.float32) * 255.0
+           - np.asarray([103.53, 116.28, 123.675], np.float32))
+    x = jnp.asarray(img[None])
+
+    outs = {}
+    for dtype in (jnp.float32, jnp.bfloat16):
+        model = CenterMask(
+            conv_body="V-19-slim-eSE", num_classes=NUM_CLASSES,
+            mask_on=True, maskiou_on=True,
+            pre_nms_topk_test=4096, nms_candidates=4096,
+            post_nms_topk_test=POST_NMS_TOPK, dtype=dtype)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+        converted, _ = convert_checkpoint(sd, conv_body="V-19-slim-eSE")
+        params, missing = merge_params(
+            jax.tree.map(np.asarray, variables["params"]), converted)
+        assert not missing
+        out = jax.jit(lambda v, im: model.apply(v, im))(
+            {"params": jax.tree.map(jnp.asarray, params)}, x)
+        n = int(np.asarray(out.valid[0]).sum())
+        outs[jnp.dtype(dtype).name] = dict(
+            boxes=np.asarray(out.pred_boxes[0], np.float32)[:n],
+            scores=np.asarray(out.scores[0], np.float32)[:n],
+            classes=np.asarray(out.pred_classes[0])[:n],
+            masks=np.asarray(out.pred_masks[0], np.float32)[:n, 0],
+            mask_scores=np.asarray(out.mask_scores[0], np.float32)[:n])
+
+    f32, bf16 = outs["float32"], outs["bfloat16"]
+    n32, n16 = len(f32["scores"]), len(bf16["scores"])
+    assert n32 > 3
+    # detection count: bf16 may flip borderline pre-NMS candidates, not
+    # wipe out (or hallucinate) whole detection sets
+    assert abs(n32 - n16) <= max(2, int(0.25 * n32)), (n32, n16)
+
+    # greedy same-class IoU matching f32 -> bf16
+    iou = _box_iou_matrix(f32["boxes"], bf16["boxes"])
+    iou[f32["classes"][:, None] != bf16["classes"][None, :]] = 0.0
+    taken = np.zeros(n16, bool)
+    matches = []
+    for i in np.argsort(-f32["scores"]):
+        j = int(np.argmax(np.where(taken, -1.0, iou[i])))
+        if iou[i, j] >= 0.75 and not taken[j]:
+            taken[j] = True
+            matches.append((i, j))
+    assert len(matches) >= 0.75 * n32, (len(matches), n32)
+
+    mi = np.asarray([m[0] for m in matches])
+    mj = np.asarray([m[1] for m in matches])
+    # score drift: bf16 has ~3 decimal digits; the pipeline compounds
+    # ~hundreds of convs, so allow 3e-2 absolute on final scores
+    assert np.abs(f32["scores"][mi] - bf16["scores"][mj]).max() < 3e-2
+    # mask_scores: score * maskiou, and the maskiou head is an UNBOUNDED
+    # linear regressor — with random test weights its output spans ~±15
+    # (trained checkpoints live in [0,1]), so bf16 drift scales with the
+    # output range, not an absolute epsilon. Bound drift relative to the
+    # observed range and require the ranking signal to survive.
+    ms32 = f32["mask_scores"][mi]
+    ms16 = bf16["mask_scores"][mj]
+    ms_range = max(float(ms32.max() - ms32.min()), 1.0)
+    assert np.abs(ms32 - ms16).max() < 0.15 * ms_range
+    assert np.corrcoef(ms32, ms16)[0, 1] > 0.98
+    # box drift: bounded in units of box size
+    wh = np.maximum(f32["boxes"][mi, 2:] - f32["boxes"][mi, :2], 1.0)
+    rel = np.abs(f32["boxes"][mi] - bf16["boxes"][mj]) / np.tile(wh, 2)
+    assert rel.max() < 0.15, rel.max()
+    # mask probability field: mean drift tight, pointwise loose
+    dm = np.abs(f32["masks"][mi] - bf16["masks"][mj])
+    assert dm.mean() < 0.02, dm.mean()
+    assert (dm > 0.25).mean() < 0.05
 
 
 KP_CONV = 64

@@ -365,6 +365,130 @@ def test_dp_inference_u8_pack_matches_f32():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def _parity_batch(B, n_gt=2):
+    """Global batch with per-image VARYING gt geometry, so the FCOS
+    num_pos/ctrness psum normalizers are exercised non-trivially (equal
+    per-image counts would make the cross-replica sum a mathematical
+    no-op). Each image carries exactly n_gt valid boxes."""
+    from centermask2_tpu.models import GroundTruth
+
+    rng = np.random.RandomState(3)
+    images = jnp.asarray(rng.randn(B, 64, 64, 3).astype(np.float32) * 20)
+    boxes = np.zeros((B, n_gt, 4), np.float32)
+    classes = np.zeros((B, n_gt), np.int32)
+    for i in range(B):
+        for g in range(n_gt):
+            x0 = 2.0 + 3.0 * i + 7.0 * g
+            y0 = 3.0 + 2.0 * ((i + g) % 4)
+            boxes[i, g] = [x0, y0, x0 + 14.0 + 2.0 * i, y0 + 20.0 + 3.0 * g]
+            classes[i, g] = (i + g) % 3
+    gt = GroundTruth(
+        boxes=jnp.asarray(boxes), classes=jnp.asarray(classes),
+        valid=jnp.ones((B, n_gt), bool),
+        mask_patches=jnp.asarray(
+            (rng.rand(B, n_gt, 16, 16) > 0.4).astype(np.float32)))
+    return images, gt
+
+
+def _run_parity_step(model, images, gt, n_devices):
+    from centermask2_tpu.parallel import make_mesh, shard_batch
+    from centermask2_tpu.train import create_train_state, make_train_step
+
+    variables = model.init(jax.random.PRNGKey(0), images[:1])
+    opt = make_optimizer(0.02, (100,), warmup_iters=0, warmup_factor=1.0,
+                         params_example={"params": variables["params"]})
+    state = create_train_state(variables, opt)
+    mesh = make_mesh(jax.devices()[:n_devices])
+    state = jax.device_put(state, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec()))
+    im, g = shard_batch((images, gt), mesh)
+    step = make_train_step(model, opt, mesh=mesh)
+    new_state, metrics = step(state, im, g, jax.random.PRNGKey(1))
+    deltas = jax.tree.map(lambda a, b: np.asarray(a) - np.asarray(b),
+                          new_state.params, state.params)
+    return deltas, jax.tree.map(float, metrics), new_state.model_state
+
+
+@pytest.mark.slow
+def test_gradient_parity_8dev_vs_1dev():
+    """The multi-chip CORRECTNESS invariant the driver's dryrun doesn't
+    check: one DP train step over an 8-device mesh must produce the same
+    parameter update as the same global batch on 1 device (reference DDP
+    semantics: per-replica losses with psum'd FCOS normalizers, grads
+    pmean'd — utils/comm.py:5-11, fcos_outputs.py:92,113).
+
+    Setup notes: per-image gt geometry VARIES (so the num_pos psum is
+    non-trivial), and max_fg_proposals == n_gt with append_gt on, so
+    every image saturates its fg cap and the ROI losses' local-mean
+    normalization (the reference's own DDP semantics) is sharding-
+    invariant. Proposal-sampler rng differs between shardings but only
+    reorders BACKGROUND samples, which no loss consumes."""
+    from centermask2_tpu.models import CenterMask
+
+    B = 8
+    model = CenterMask(
+        conv_body="V-19-slim-eSE", mask_on=True, maskiou_on=True,
+        pre_nms_topk_train=20, post_nms_topk_train=10, nms_candidates=20,
+        batch_size_per_image=16, max_fg_proposals=2,
+        dtype=jnp.float32)
+    images, gt = _parity_batch(B, n_gt=2)
+
+    d8, m8, _ = _run_parity_step(model, images, gt, 8)
+    d1, m1, _ = _run_parity_step(model, images, gt, 1)
+
+    for k in m1:
+        assert abs(m1[k] - m8[k]) <= 1e-5 + 1e-4 * abs(m1[k]), (
+            k, m1[k], m8[k])
+    flat1 = jax.tree_util.tree_leaves_with_path(d1)
+    flat8 = {jax.tree_util.keystr(k): v
+             for k, v in jax.tree_util.tree_leaves_with_path(d8)}
+    assert len(flat1) == len(flat8)
+    n_nonzero = 0
+    for k, a in flat1:
+        b = flat8[jax.tree_util.keystr(k)]
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=2e-7,
+                                   err_msg=jax.tree_util.keystr(k))
+        n_nonzero += int(np.abs(a).max() > 0)
+    assert n_nonzero > 50  # the step actually moved the model
+
+
+@pytest.mark.slow
+def test_gradient_parity_8dev_vs_1dev_syncbn():
+    """Same invariant with MODEL.VOVNET.NORM='SyncBN': the psum'd batch
+    moments must make an 8x1 sharded batch statistically identical to
+    the 1x8 batch (reference SyncBN contract), so params AND the updated
+    running stats agree across shardings."""
+    from centermask2_tpu.models import CenterMask
+
+    B = 8
+    model = CenterMask(
+        conv_body="V-19-slim-eSE", backbone_norm="SyncBN",
+        mask_on=False, maskiou_on=False,
+        pre_nms_topk_train=20, post_nms_topk_train=10, nms_candidates=20,
+        dtype=jnp.float32)
+    images, gt = _parity_batch(B, n_gt=2)
+
+    d8, m8, s8 = _run_parity_step(model, images, gt, 8)
+    d1, m1, s1 = _run_parity_step(model, images, gt, 1)
+
+    for k in m1:
+        assert abs(m1[k] - m8[k]) <= 1e-5 + 1e-4 * abs(m1[k]), (
+            k, m1[k], m8[k])
+    for a, b in zip(jax.tree.leaves(d1), jax.tree.leaves(d8)):
+        # atol: SyncBN moments are psum'd f32 partial sums; the 8-shard
+        # mesh reassociates every layer's moments and the wobble
+        # compounds through the depth (observed max delta drift 3e-5;
+        # the FrozenBN variant of this test pins the tight 2e-7 bound).
+        # A wrong-psum-semantics bug shifts deltas at their own scale
+        # (~1e-3), far above this floor.
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-4)
+    # updated running batch_stats agree (SyncBN moments are global)
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_dryrun_multichip_2dev():
     """The driver contract: full DP train step on a virtual mesh."""
