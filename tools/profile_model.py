@@ -62,6 +62,33 @@ def summarize(trace_dir: str, runs: int, top: int, hlo_text: str = ""):
         src = meta.get(n, "")
         print(f"{d / runs / 1000:9.3f}  {cum / total * 100:5.1f}  {n[:40]} {src}")
 
+    # pipeline-section rollup (module-path prefix buckets): the "which
+    # stage regressed" view bench_stages gives, but from ONE trace with
+    # per-op attribution instead of chained-window differencing
+    sections = (
+        ("host/normalize+s2d", ("_normalize_u8_s2d", "_pad_to_canvas")),
+        ("backbone", ("features/backbone",)),
+        ("fpn", ("features/fpn",)),
+        ("fcos_head", ("_fcos_raw",)),
+        ("decode+nms", ("_decode",)),
+        ("roi+mask+maskiou", ("roi_heads", "mask_head", "maskiou",
+                              "mask_rcnn_inference", "roi_align",
+                              "CenterROIHeads")),
+        ("keypoint", ("keypoint",)),
+    )
+    rollup = defaultdict(float)
+    for n, d in by.items():
+        src = meta.get(n, "")
+        label = "(unattributed)"
+        for name, keys in sections:
+            if any(k in src for k in keys):
+                label = name
+                break
+        rollup[label] += d
+    print("\nsection rollup:")
+    for name, d in sorted(rollup.items(), key=lambda kv: -kv[1]):
+        print(f"{d / runs / 1000:9.3f}  {d / total * 100:5.1f}%  {name}")
+
 
 def main():
     p = argparse.ArgumentParser()
