@@ -94,35 +94,60 @@ def roi_align(
     ys, xs = _sample_coords(boxes.astype(jnp.float32), scale, output_size,
                             sampling_ratio, aligned)
     y_low, x_low, w = _bilinear_taps(ys, xs, float(H), float(W))
-    y_high = jnp.minimum(y_low + 1, H - 1)
-    x_high = jnp.minimum(x_low + 1, W - 1)
-
-    flat = features.reshape(H * W, C)
-    corners = [y_low * W + x_low, y_low * W + x_high,
-               y_high * W + x_low, y_high * W + x_high]  # 4 x (R, P)
-    vals = _gather_combine(flat, corners, w)
-
-    s = sampling_ratio
-    o = output_size
-    vals = vals.reshape(R, o, s, o, s, C)
-    return vals.mean(axis=(2, 4))
+    flat = _blockify(features[None]).reshape(H * W, 4 * C)
+    vals = _block_gather_combine(flat, y_low * W + x_low, w, C)
+    return _bin_average(vals, output_size, sampling_ratio)
 
 
-def _gather_combine(flat: jnp.ndarray, corners, w: jnp.ndarray) -> jnp.ndarray:
-    """Weighted 4-corner gather-combine -> (R, P, C).
+def _blockify(f: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W, C) -> (N, H, W, 4C): each pixel's 2x2 bilinear
+    neighborhood [f(y,x), f(y,x+1), f(y+1,x), f(y+1,x+1)] concatenated on
+    channels, with +1 clamped at the border — exactly the
+    y_high = min(y_low+1, H-1) / x_high = min(x_low+1, W-1) tap semantics
+    of _bilinear_taps (y_low/x_low are already in range).
 
-    One 2-D row gather per bilinear corner instead of a single flattened
-    (R*P*4,) gather: the (R, P, 4, C) intermediate forced a relayout
-    reshape and a lane-strided reduction (profiled ~0.8 ms at R=50 on
-    v5e); four (R, P, C) gathers feed one minor-dim-aligned
-    multiply-add fusion at HBM bandwidth instead.
-    """
+    Turns the 4-corner gather into ONE row gather from a 4C-wide table:
+    4x fewer row DMAs at 4x the row size, and the corner combine becomes
+    static minor-dim slices of one gathered buffer (no relayout). The
+    table build is 5 streaming passes over the feature map, ~0.12 ms at
+    the V-39@1344 P3-P5 working set vs the ~0.6 ms it removes from the
+    gathers (profiled r4)."""
+    fx = jnp.concatenate([f[:, :, 1:], f[:, :, -1:]], axis=2)
+    fy = jnp.concatenate([f[:, 1:], f[:, -1:]], axis=1)
+    fxy = jnp.concatenate([fx[:, 1:], fx[:, -1:]], axis=1)
+    return jnp.concatenate([f, fx, fy, fxy], axis=-1)
+
+
+def _block_gather_combine(flat4: jnp.ndarray, idx: jnp.ndarray,
+                          w: jnp.ndarray, C: int) -> jnp.ndarray:
+    """Weighted bilinear combine from a blockified (S, 4C) table:
+    one (R, P) row gather, then four static channel-slice FMAs."""
+    g = jnp.take(flat4, idx, axis=0, mode="clip")  # (R, P, 4C)
     out = None
-    for t, idx_t in enumerate(corners):
-        g = jnp.take(flat, idx_t, axis=0, mode="clip")  # (R, P, C)
-        part = g * w[:, :, t, None].astype(g.dtype)
+    for t in range(4):
+        part = g[..., t * C:(t + 1) * C] * w[:, :, t, None].astype(g.dtype)
         out = part if out is None else out + part
     return out
+
+
+def _bin_average(vals: jnp.ndarray, output_size: int,
+                 sampling_ratio: int) -> jnp.ndarray:
+    """(R, P, C) sample points -> (R, o, o, C) bin means.
+
+    As a matmul against a static (P, o*o) averaging matrix: the direct
+    reshape(R, o, s, o, s, C).mean(axis=(2, 4)) lowers to a two-strided-
+    axis reduce measured at 2x its bandwidth bound (0.214 ms at R=50,
+    o=14, s=2 on v5e); the matmul form runs on the MXU, whose bf16 dot
+    accumulates in f32 natively (no preferred_element_type: an explicit
+    BF16xBF16=F32 dot is UNIMPLEMENTED on the CPU backend, and the s*s<=16
+    term sum is exact-enough in either accumulator)."""
+    o, s = output_size, sampling_ratio
+    R, P, C = vals.shape
+    pt_bin = (jnp.arange(P) // (s * o * s)) * o + (jnp.arange(P) // s) % o
+    avg = (jax.nn.one_hot(pt_bin, o * o, dtype=vals.dtype)
+           / jnp.asarray(s * s, vals.dtype))  # (P, o*o)
+    out = jnp.einsum("rpc,pb->rbc", vals, avg)
+    return out.reshape(R, o, o, C)
 
 
 ADAPTIVE_SAMPLING_BUCKETS = (1, 2, 4)
@@ -178,7 +203,10 @@ def multilevel_roi_align(
     sizes = [f.shape[1] * f.shape[2] * f.shape[0] for f in features]
     bases = jnp.array([sum(sizes[:i]) for i in range(L)], jnp.int32)
 
-    flat = jnp.concatenate([f.reshape(-1, C) for f in features], axis=0)  # (S, C)
+    # blockified table: the per-level border clamp must happen in each
+    # level's own (H, W) geometry, BEFORE flattening
+    flat = jnp.concatenate(
+        [_blockify(f).reshape(-1, 4 * C) for f in features], axis=0)
 
     lv = jnp.clip(levels, 0, L - 1)
     scale_r = jnp.take(scales_arr, lv)
@@ -192,19 +220,10 @@ def multilevel_roi_align(
                             sampling_ratio, aligned)
     y_low, x_low, w = _bilinear_taps(ys, xs, h_r[:, None], w_r[:, None])
     wi = w_r[:, None].astype(jnp.int32)
-    hi = h_r[:, None].astype(jnp.int32)
-    y_high = jnp.minimum(y_low + 1, hi - 1)
-    x_high = jnp.minimum(x_low + 1, wi - 1)
 
-    base = base_r[:, None]
-    corners = [y_low * wi + x_low + base, y_low * wi + x_high + base,
-               y_high * wi + x_low + base, y_high * wi + x_high + base]
-    vals = _gather_combine(flat, corners, w)
-
-    s = sampling_ratio
-    o = output_size
-    vals = vals.reshape(R, o, s, o, s, C)
-    return vals.mean(axis=(2, 4))
+    idx = y_low * wi + x_low + base_r[:, None]
+    vals = _block_gather_combine(flat, idx, w, C)
+    return _bin_average(vals, output_size, sampling_ratio)
 
 
 def assign_boxes_by_ratio(
