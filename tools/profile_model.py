@@ -50,7 +50,10 @@ def summarize(trace_dir: str, runs: int, top: int, hlo_text: str = ""):
             if "op_name=" in line and "= " in line.split("op_name=")[0]:
                 name = line.lstrip("%").split(" ", 1)[0].rstrip(" =")
                 tag = line.split('op_name="', 1)[-1].split('"')[0]
-                meta[name] = tag.split("jit(<lambda>)/")[-1][:90]
+                # keep the FULL path for section matching (a 90-char cut
+                # truncated 'features/backbone' and misattributed the
+                # whole backbone backward); the display slices for print
+                meta[name] = tag.split("jit(<lambda>)/")[-1]
 
     by = defaultdict(float)
     for e in events:
@@ -60,7 +63,8 @@ def summarize(trace_dir: str, runs: int, top: int, hlo_text: str = ""):
     for n, d in sorted(by.items(), key=lambda kv: -kv[1])[:top]:
         cum += d
         src = meta.get(n, "")
-        print(f"{d / runs / 1000:9.3f}  {cum / total * 100:5.1f}  {n[:40]} {src}")
+        print(f"{d / runs / 1000:9.3f}  {cum / total * 100:5.1f}  "
+              f"{n[:40]} {src[:95]}")
 
     # pipeline-section rollup (module-path prefix buckets): the "which
     # stage regressed" view bench_stages gives, but from ONE trace with
@@ -69,12 +73,15 @@ def summarize(trace_dir: str, runs: int, top: int, hlo_text: str = ""):
         ("host/normalize+s2d", ("_normalize_u8_s2d", "_pad_to_canvas")),
         ("backbone", ("features/backbone",)),
         ("fpn", ("features/fpn",)),
-        ("fcos_head", ("_fcos_raw",)),
+        ("fcos_head", ("_fcos_raw", "fcos_head")),
         ("decode+nms", ("_decode",)),
         ("roi+mask+maskiou", ("roi_heads", "mask_head", "maskiou",
                               "mask_rcnn_inference", "roi_align",
                               "CenterROIHeads")),
         ("keypoint", ("keypoint",)),
+        ("losses/assign", ("CenterMask.loss", "fcos_losses", "_assign",
+                           "crop_and_resize")),
+        ("optimizer", ("optimizer", "apply_updates", "sgd")),
     )
     rollup = defaultdict(float)
     for n, d in by.items():
@@ -82,7 +89,10 @@ def summarize(trace_dir: str, runs: int, top: int, hlo_text: str = ""):
         label = "(unattributed)"
         for name, keys in sections:
             if any(k in src for k in keys):
-                label = name
+                # backward ops carry the same module path under the
+                # transpose() wrapper — split them out so fwd-vs-bwd
+                # efficiency is visible per section
+                label = name + (" [bwd]" if "transpose" in src else "")
                 break
         rollup[label] += d
     print("\nsection rollup:")
@@ -97,6 +107,10 @@ def main():
     p.add_argument("--runs", type=int, default=3)
     p.add_argument("--top", type=int, default=25)
     p.add_argument("--trace-dir", default=None)
+    p.add_argument("--train", action="store_true",
+                   help="profile one full DP train step (fwd+bwd+SGD, "
+                        "synthetic GT as in tools/bench_train.py) instead "
+                        "of the inference graph")
     p.add_argument("opts", nargs="*", default=[])
     args = p.parse_args()
 
@@ -127,6 +141,48 @@ def main():
         params = jax.tree.map(
             lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
             params)
+    if args.train:
+        # full DP train step on synthetic GT (same setup as bench_train)
+        from centermask2_tpu.models import GroundTruth
+        from centermask2_tpu.train import make_optimizer
+        from centermask2_tpu.train.trainer import (create_train_state,
+                                                   make_train_step)
+        G = 20
+        boxes = np.zeros((args.batch, G, 4), np.float32)
+        boxes[..., 2:] = rng.uniform(40, fixed / 2, (args.batch, G, 2))
+        boxes[..., :2] = rng.uniform(0, fixed / 2, (args.batch, G, 2))
+        boxes[..., 2:] += boxes[..., :2]
+        gt = GroundTruth(
+            boxes=jnp.asarray(boxes),
+            classes=jnp.asarray(rng.randint(0, 80, (args.batch, G)),
+                                jnp.int32),
+            valid=jnp.ones((args.batch, G), bool),
+            mask_patches=jnp.asarray(
+                (rng.rand(args.batch, G, 28, 28) > 0.5).astype(np.float32)))
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
+        opt = make_optimizer(0.01, (60000, 80000),
+                             params_example=variables["params"])
+        state = create_train_state(variables, opt)
+        step = make_train_step(model, opt)
+        key = jax.random.PRNGKey(1)
+        fn = lambda s: step(s, x, gt, key)  # noqa: E731
+        state, _ = fn(state)
+        jax.block_until_ready(state)
+        hlo_text = ""
+        try:
+            hlo_text = jax.jit(step).lower(
+                state, x, gt, key).compile().as_text()
+        except Exception:
+            pass
+        trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="cm2_trace_")
+        with jax.profiler.trace(trace_dir):
+            for _ in range(args.runs):
+                state, _ = fn(state)
+            jax.block_until_ready(state)
+        print(f"trace: {trace_dir}")
+        summarize(trace_dir, args.runs, args.top, hlo_text)
+        return
+
     fn = jax.jit(lambda p, im: model.apply(p, im))
     out = fn(params, x)
     jax.block_until_ready(out)

@@ -37,13 +37,18 @@ SECTIONS = (
                           "mask_rcnn_inference", "roi_align",
                           "CenterROIHeads", "MaskIoU")),
     ("keypoint", ("keypoint",)),
+    ("losses/assign", ("CenterMask.loss", "fcos_losses", "_assign",
+                       "crop_and_resize")),
+    ("optimizer", ("optimizer", "apply_updates", "sgd")),
 )
 
 
 def section_of(tf_op: str) -> str:
     for name, keys in SECTIONS:
         if any(k in tf_op for k in keys):
-            return name
+            # train traces: backward ops carry the same module path under
+            # the transpose() wrapper — split fwd vs bwd per section
+            return name + (" [bwd]" if "transpose" in tf_op else "")
     return "(other)"
 
 
