@@ -96,11 +96,16 @@ def assign_targets_single_image(
     min_area = jnp.min(loc_to_gt_area, axis=1)  # (L,)
     gt_inds = jnp.argmin(loc_to_gt_area, axis=1)  # (L,)
 
-    labels = jnp.take(gt_classes, gt_inds)
-    labels = jnp.where(min_area == INF, num_classes, labels)
-    reg = jnp.take_along_axis(reg_targets, gt_inds[:, None, None].repeat(4, 2), axis=1)[
-        :, 0, :
-    ]
+    # select the argmin row via a one-hot contraction: per-location
+    # gathers over the G axis (take / take_along_axis) lower to kCustom
+    # dynamic-gathers costing 2.2 ms/step on v5e at 896^2 (~0 bytes
+    # moved — pure serialization); the one-hot multiply-reduce is a
+    # streaming pass over the (L, G, 4) targets already in registers.
+    # Exact: one_hot rows are {0,1} and class ids << 2^24.
+    oh = jax.nn.one_hot(gt_inds, gt_classes.shape[0], dtype=jnp.float32)
+    labels = jnp.sum(oh * gt_classes.astype(jnp.float32)[None, :], axis=1)
+    labels = jnp.where(min_area == INF, num_classes, labels.astype(jnp.int32))
+    reg = jnp.einsum("lg,lgd->ld", oh, reg_targets)
     return labels.astype(jnp.int32), reg
 
 
