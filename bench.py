@@ -73,6 +73,14 @@ def _wait_for_backend() -> bool:
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           "/root/.cache/jax_comp_cache")
+    # Global deadline: the driver's bench run must finish; secondary
+    # sections shrink or drop before the primary metric ever does.
+    t_script = time.perf_counter()
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "780"))
+
+    def time_left() -> float:
+        return deadline - (time.perf_counter() - t_script)
+
     if not _wait_for_backend():
         return
     import jax
@@ -148,7 +156,10 @@ def main():
     # 4 min of sampling: degraded tunnel windows last tens of minutes,
     # but brief good sub-windows do occur — more samples, more chances
     # for min() to catch one (rounds 3-4 both saw >1 ms window swing)
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "240"))
+    # reserve ~6 min for the secondary sections (tight canvas, host,
+    # pipelined serving, link) — they shrink further if this runs long
+    budget_s = min(float(os.environ.get("BENCH_BUDGET_S", "240")),
+                   max(60.0, time_left() - 360.0))
     best_one = best_many = float("inf")
     t_start = time.perf_counter()
     rep = 0
@@ -190,6 +201,49 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"[warn] cost analysis failed: {e!r}", file=sys.stderr)
 
+    # --- tight-canvas latency: the d2-equivalent workload. The reference's
+    # 0.050 s/img was measured by upstream CenterMask2 in detectron2 eval,
+    # where a typical val2017 image (640x480) runs resized to 800x1066 and
+    # padded only to /32 => an 800x1088 tensor — NOT the fixed 1344x1344
+    # deploy square the primary metric above uses (1.9x more pixels). This
+    # section times the SAME pipeline at that workload: the model is fully
+    # convolutional and the eSE gate pools over the padded canvas exactly
+    # as the reference's does at this shape, so this is the direct
+    # apples-to-apples latency vs the published baseline.
+    try:
+        from centermask2_tpu.data.preprocess import (PIXEL_MEAN,
+                                                     stem_space_to_depth)
+
+        if time_left() < 150:
+            raise TimeoutError("deadline: skipping tight-canvas section")
+        th, tw = (800, 1088) if edge >= 1088 else (edge, edge)
+        img_t = (rng.rand(min(800, th), min(1066, tw), 3) * 255).astype(
+            np.uint8)
+        canvas = np.zeros((th, tw, 3), np.float32)
+        canvas[:img_t.shape[0], :img_t.shape[1]] = (
+            img_t.astype(np.float32) - np.asarray(PIXEL_MEAN, np.float32))
+        xt = jnp.asarray(stem_space_to_depth(canvas[None]))
+        fn_t = jax.jit(chained)
+        jax.block_until_ready(fn_t(params, xt, 1))
+        t_start = time.perf_counter()
+        b1 = bm = float("inf")
+        rep = 0
+        tb = min(75.0, max(15.0, time_left() - 240.0))
+        while rep < 6 or (time.perf_counter() - t_start < tb and rep < 32):
+            rep += 1
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn_t(params, xt, 1))
+            b1 = min(b1, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn_t(params, xt, iters))
+            bm = min(bm, time.perf_counter() - t0)
+        dt_t = max((bm - b1) / (iters - 1), 1e-9)
+        result["tight_canvas"] = [th, tw]
+        result["tight_canvas_ms"] = round(dt_t * 1000.0, 3)
+        result["tight_canvas_vs_baseline"] = round(baseline_s / dt_t, 3)
+    except Exception as e:  # pragma: no cover
+        print(f"[warn] tight-canvas bench failed: {e!r}", file=sys.stderr)
+
     # --- host preprocessing: the fused normalize+pad+s2d native kernel
     hp = float("inf")
     for _ in range(30):
@@ -223,12 +277,13 @@ def main():
         imgs = [np.ascontiguousarray((img_u8.astype(np.int16) + k) % 256,
                                      dtype=np.uint8) for k in range(4)]
 
-        def pipelined(n_imgs, d):
+        def pipelined(n_imgs, d, f=None):
+            f = f or single
             pending = deque()
             t0 = time.perf_counter()
             for i in range(n_imgs):
                 xin = jnp.asarray(s2d_pack_u8_tight(imgs[i % 4], edge))
-                pending.append(single(params, xin, hw))
+                pending.append(f(params, xin, hw))
                 if len(pending) > d:
                     jax.block_until_ready(pending.popleft())
             while pending:
@@ -255,6 +310,22 @@ def main():
                 break
         result["batched_images_per_sec"] = round(1.0 / bat, 1)
         result["batch"] = depth
+
+        # tight-COMPUTE sustained serving: the same pipelined loop, but
+        # the device program runs AT the tight canvas (no pad-back) —
+        # the d2-eval-equivalent workload (infer.py --tight-compute).
+        # For this 800x1333 input the tight pack already sits on the
+        # (800,1344) serving canvas: 1.68x less device compute.
+        if time_left() >= 120:
+            single_t = jax.jit(
+                lambda p, im, hw: model.apply(p, im, None, hw))
+            jax.block_until_ready(single_t(params, xu, hw))
+            t_start, sut = time.perf_counter(), float("inf")
+            for _ in range(6):
+                sut = min(sut, pipelined(n_imgs, 2, single_t))
+                if time.perf_counter() - t_start > 60:
+                    break
+            result["sustained_tight_images_per_sec"] = round(1.0 / sut, 1)
 
         # host->device link characterization: when the sustained number
         # is far below 1000/max(host_ms, device_ms), the gap is the

@@ -39,6 +39,7 @@ def evaluate_dataset(
     pipeline_depth: int = 2,
     kpt_oks_sigmas=None,
     tight: Optional[bool] = None,
+    tight_compute: bool = False,
 ):
     """Evaluate ``model`` over a COCO-format dataset one image at a time.
 
@@ -59,6 +60,22 @@ def evaluate_dataset(
     to s2d when the loop builds its own forward; when YOU pass ``fn``
     and want tight packs, the fn must apply the model with
     canvas_hw=(fixed_size, fixed_size) and you must pass tight=True.
+
+    ``tight_compute`` (s2d only) goes further: the device program RUNS at
+    the quantized tight canvas instead of padding the pack back to the
+    deployment square — ~1.7-1.9x less device compute for typical COCO
+    shapes (the fully-convolutional model is shape-polymorphic; at most
+    4 canvases => at most 4 compiled programs). This is the
+    detectron2-eval-equivalent workload: d2 pads each image only to /32,
+    so the reference's published AP/latency came from tight shapes, and
+    the fixed square is purely the ONNX deploy contract. Numerics note
+    (mirrors the reference's own deploy-vs-eval divergence, in the same
+    direction): canvas size reaches the math through the eSE gate's
+    global pool, through receptive-field bleed past the image edge that
+    a smaller canvas truncates earlier (tests/test_meta.py::
+    test_rect_canvas_feature_crop_parity_fcn_backbone pins the band),
+    and through the padded-canvas size doubling as the image_sizes
+    default used by ROI area-ratio level assignment.
     """
     import jax
     import jax.numpy as jnp
@@ -72,12 +89,19 @@ def evaluate_dataset(
     from centermask2_tpu.evaluation import COCOEvaluator, COCOGt
 
     s2d = bool(getattr(model, "s2d_input", False))
+    tight_compute = bool(tight_compute) and s2d
     if fn is None:
         if tight is None:
             tight = s2d
-        fn = jax.jit(lambda v, im, hw: model.apply(
-            v, im, None, hw, canvas_hw=(fixed_size, fixed_size)))
-    tight = bool(tight) and s2d
+        if tight_compute:
+            # no canvas_hw: the program runs at the pack's own canvas;
+            # jit compiles one program per distinct canvas (<= 4, the
+            # s2d_serving_canvas quantization)
+            fn = jax.jit(lambda v, im, hw: model.apply(v, im, None, hw))
+        else:
+            fn = jax.jit(lambda v, im, hw: model.apply(
+                v, im, None, hw, canvas_hw=(fixed_size, fixed_size)))
+    tight = (bool(tight) or tight_compute) and s2d
     # host-numpy weights would re-upload per jit call (once per image) —
     # place them on device once
     variables = jax.device_put(variables)

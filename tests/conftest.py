@@ -15,6 +15,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Persistent compilation cache: the suite's wall time is dominated by
+# XLA CPU compiles of the big model graphs; repeated runs (same code,
+# same shapes) skip them entirely. Only large compiles are stored.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 import jax  # noqa: E402
 

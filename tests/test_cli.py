@@ -84,6 +84,31 @@ def test_infer_cli_end_to_end(tiny_coco, tmp_path):
 
 
 @pytest.mark.slow
+def test_infer_cli_tight_compute(tiny_coco, tmp_path):
+    """--tight-compute: the device program runs at each image's quantized
+    tight canvas (s2d_serving_canvas) instead of the fixed square — the
+    d2-eval-equivalent workload. The 300x260 and landscape-resized inputs
+    exercise a non-square canvas end to end through decode/ROI/postproc."""
+    out = tmp_path / "out_tight"
+    r = _run([
+        "tools/infer.py",
+        "--config-file", "configs/centermask/zy_model_config.yaml",
+        "--ann", str(tiny_coco / "ann.json"),
+        "--image-root", str(tiny_coco / "images"),
+        "--output-dir", str(out),
+        "--tight-compute",
+        "TPU.FIXED_EDGE_SIZE", "320",
+        "TPU.S2D_STEM_INPUT", "True",
+        "MODEL.FCOS.PRE_NMS_TOPK_TEST", "50",
+        "INPUT.MIN_SIZE_TEST", "256", "INPUT.MAX_SIZE_TEST", "312",
+    ] + TINY_OPTS)
+    assert r.returncode == 0, r.stderr[-3000:]
+    metrics = json.loads((out / "metrics.json").read_text())
+    assert set(metrics) >= {"bbox", "segm", "box_proposals"}
+    assert (out / "coco_instances_results.json").exists()
+
+
+@pytest.mark.slow
 def test_train_cli_end_to_end(tiny_coco, tmp_path):
     out = tmp_path / "train_out"
     r = _run([
