@@ -272,12 +272,16 @@ def s2d_serving_canvas(h: int, w: int,
                        fixed_size: int = FIXED_EDGE_SIZE,
                        short: int = MIN_EDGE_SIZE) -> Tuple[int, int]:
     """Quantized tight canvas for a resized (h, w) image: each dim is
-    either align4(short) (the dim a ResizeShortestEdge(short) output
+    either align32(short) (the dim a ResizeShortestEdge(short) output
     can't exceed in its short direction) or the full ``fixed_size``.
     At most 4 distinct canvases per deployment -> at most 4 compiled
     programs, while landscape/portrait images ship ~60% of the full
-    square's bytes (s2d_pack_u8_tight rationale)."""
-    s = min(-(-short // 4) * 4, fixed_size)
+    square's bytes (s2d_pack_u8_tight rationale). Aligned to 32 — the
+    detectron2 size_divisibility — so the canvas is also valid for
+    tight-COMPUTE serving (a non-/32 canvas breaks the FPN top-down 2x
+    upsample against the ceil-divided lateral shapes; for the standard
+    short=800 the alignment changes nothing)."""
+    s = min(-(-short // 32) * 32, fixed_size)
     return (s if h <= s else fixed_size, s if w <= s else fixed_size)
 
 

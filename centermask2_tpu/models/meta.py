@@ -230,6 +230,14 @@ class CenterMask(nn.Module):
     # ------------------------------------------------------------------
     def features(self, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         """images: (B, H, W, 3) already normalized+padded (BGR - mean)."""
+        H, W = self.canvas_hw(images)
+        if H % 32 or W % 32:
+            raise ValueError(
+                f"canvas {H}x{W} must be divisible by 32 (detectron2 "
+                "size_divisibility): the FPN top-down 2x upsample "
+                "misaligns against ceil-divided lateral shapes otherwise "
+                "(check TPU.FIXED_EDGE_SIZE / TPU.SIZE_BUCKETS / the "
+                "tight-compute serving canvas)")
         bottom_up = self.backbone(images.astype(self.dtype))
         feats = self.fpn([bottom_up[f] for f in self.fpn_in_features])
         return feats

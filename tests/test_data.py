@@ -224,9 +224,11 @@ def test_s2d_serving_canvas_quantization():
     assert s2d_serving_canvas(1333, 800, 1344, 800) == (1344, 800)
     assert s2d_serving_canvas(640, 800, 1344, 800) == (800, 800)
     assert s2d_serving_canvas(801, 1333, 1344, 800) == (1344, 1344)
-    # short not a multiple of 4 -> canvas aligned up
+    # short not a multiple of 32 -> canvas aligned up to the d2
+    # size_divisibility (required by tight-COMPUTE serving: FPN
+    # top-down breaks on non-/32 canvases)
     ch, cw = s2d_serving_canvas(30, 61, 64, 30)
-    assert ch % 4 == 0 and cw % 4 == 0 and ch >= 30 and cw >= 61
+    assert ch % 32 == 0 and cw % 32 == 0 and ch >= 30 and cw >= 61
 
 
 def test_stem_space_to_depth_natural_order():

@@ -80,3 +80,41 @@ def test_aot_roundtrip_serving_u8_tight(tmp_path):
                                np.asarray(out_loaded[5]), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(out_direct.pred_boxes),
                                np.asarray(out_loaded[2]), rtol=1e-5, atol=1e-4)
+
+
+def test_aot_roundtrip_serving_u8_tight_compute(tmp_path):
+    """The tight-COMPUTE serving program (runs AT the rect canvas, no
+    on-device pad-back — export_model.py --tight --tight-compute) must
+    serialize, reload, and reproduce the direct rect-canvas f32 path
+    bit-for-bit (u8 on-device normalization is exact)."""
+    from centermask2_tpu.data.preprocess import (PIXEL_MEAN, s2d_pack_u8,
+                                                 stem_space_to_depth)
+    from centermask2_tpu.export import export_serialized, load_serialized
+
+    model = CenterMask(
+        conv_body="V-19-slim-eSE", post_nms_topk_test=5, pre_nms_topk_test=20,
+        nms_candidates=20, dtype=jnp.float32, s2d_input=True)
+    rng = np.random.RandomState(1)
+    img = (rng.rand(30, 61, 3) * 255).astype(np.uint8)
+    # rect canvas (32, 64): covers the image, /32 (the d2
+    # size_divisibility — FPN top-down requires it), not the 64-square
+    xu = jnp.asarray(s2d_pack_u8(img, (32, 64)))
+    hw = jnp.asarray([[30, 61]], jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros(xu.shape, jnp.float32))
+
+    path = str(tmp_path / "serving_tc.jaxir")
+    export_serialized(model, variables, tuple(xu.shape), path,
+                      input_dtype=jnp.uint8, canvas_hw=None)
+    fn = load_serialized(path)
+    out_loaded = fn(xu, hw)
+
+    canvas = np.zeros((32, 64, 3), np.float32)
+    canvas[:30, :61] = img.astype(np.float32) - np.asarray(
+        PIXEL_MEAN, np.float32)
+    out_direct = model.apply(variables,
+                             jnp.asarray(stem_space_to_depth(canvas[None])))
+    np.testing.assert_allclose(np.asarray(out_direct.scores),
+                               np.asarray(out_loaded[5]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_direct.pred_boxes),
+                               np.asarray(out_loaded[2]), rtol=1e-5, atol=1e-4)

@@ -33,6 +33,12 @@ def main():
                    help="with --serving-u8: export for the TIGHT quantized "
                         "canvas of this orientation (s2d_serving_canvas) "
                         "instead of the full square")
+    p.add_argument("--tight-compute", action="store_true",
+                   help="with --tight: the exported program RUNS at the "
+                        "tight canvas (no on-device pad-back to the "
+                        "square) — the d2-eval-equivalent workload, "
+                        "~1.7-1.9x less device compute (see "
+                        "tools/infer.py --tight-compute)")
     p.add_argument("opts", nargs="*", default=[])
     args = p.parse_args()
 
@@ -97,12 +103,17 @@ def main():
             cw, ch = s2d_serving_canvas(short, fixed, fixed, short)
         else:
             ch = cw = fixed
+        if args.tight_compute and not args.tight:
+            raise SystemExit("--tight-compute requires --tight "
+                             "(an orientation to pick the canvas)")
         shape = (args.batch, ch // 4 + 1, cw // 4 + 1, 48)
+        canvas = None if args.tight_compute else (fixed, fixed)
         path = export_serialized(model, variables, shape, args.out,
                                  input_dtype=jnp.uint8,
-                                 canvas_hw=(fixed, fixed))
+                                 canvas_hw=canvas)
         print(f"exported {path} ({os.path.getsize(path) / 1e6:.1f} MB), "
-              f"uint8 s2d input {shape} + valid_hw, canvas {fixed}")
+              f"uint8 s2d input {shape} + valid_hw, canvas "
+              f"{(ch, cw) if args.tight_compute else fixed}")
         return
 
     path = export_serialized(model, variables, shape, args.out)
