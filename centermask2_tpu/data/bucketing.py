@@ -39,6 +39,28 @@ def group_by_bucket(
     return dict(out)
 
 
+def group_by_serving_canvas(
+    items: Sequence,
+    sizes: Sequence[Tuple[int, int]],  # original (h, w) per item
+    fixed_size: int,
+    short: int,
+    max_size: int,
+) -> Dict[Tuple[int, int], List[int]]:
+    """Map quantized tight canvas (ch, cw) -> item indices, for
+    tight-COMPUTE batched serving (infer.py --tight-compute): every image
+    in a group shares the s2d_serving_canvas of its resized shape, so a
+    batch formed inside one group runs at that rect canvas directly —
+    at most 4 canvases => at most 4 compiled (canvas, batch) programs,
+    ~1.7-1.9x less device compute than the square buckets."""
+    from .preprocess import s2d_serving_canvas
+
+    out: Dict[Tuple[int, int], List[int]] = defaultdict(list)
+    for i, (h, w) in enumerate(sizes):
+        nh, nw = compute_resize_shape(h, w, short, max_size)
+        out[s2d_serving_canvas(nh, nw, fixed_size, short)].append(i)
+    return dict(out)
+
+
 def batches_from_groups(
     groups: Dict[int, List[int]], batch_size: int
 ) -> Iterator[Tuple[int, List[int]]]:

@@ -109,6 +109,30 @@ def test_infer_cli_tight_compute(tiny_coco, tmp_path):
 
 
 @pytest.mark.slow
+def test_infer_cli_tight_compute_data_parallel(tiny_coco, tmp_path):
+    """--tight-compute composes with --data-parallel: batches are grouped
+    by quantized serving canvas (both 300x260 images land on the same
+    rect (256,320) canvas) and the sharded batch runs at that canvas on
+    the 2-device CPU mesh."""
+    out = tmp_path / "out_tight_dp"
+    r = _run([
+        "tools/infer.py",
+        "--config-file", "configs/centermask/zy_model_config.yaml",
+        "--ann", str(tiny_coco / "ann.json"),
+        "--image-root", str(tiny_coco / "images"),
+        "--output-dir", str(out),
+        "--tight-compute", "--data-parallel", "--batch-size", "2",
+        "TPU.FIXED_EDGE_SIZE", "320",
+        "TPU.S2D_STEM_INPUT", "True",
+        "MODEL.FCOS.PRE_NMS_TOPK_TEST", "50",
+        "INPUT.MIN_SIZE_TEST", "256", "INPUT.MAX_SIZE_TEST", "312",
+    ] + TINY_OPTS, n_devices=2)
+    assert r.returncode == 0, r.stderr[-3000:]
+    metrics = json.loads((out / "metrics.json").read_text())
+    assert set(metrics) >= {"bbox", "segm", "box_proposals"}
+
+
+@pytest.mark.slow
 def test_train_cli_end_to_end(tiny_coco, tmp_path):
     out = tmp_path / "train_out"
     r = _run([

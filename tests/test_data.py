@@ -249,3 +249,19 @@ def test_stem_space_to_depth_natural_order():
                         want = (x[0, r, co, c]
                                 if 0 <= r < 8 and 0 <= co < 8 else 0.0)
                         assert out[0, i, j, rho * 12 + kap * 3 + c] == want
+
+
+def test_group_by_serving_canvas():
+    """Tight-compute batching groups by the quantized serving canvas of
+    the RESIZED shape: landscape/portrait split, short-side dim aligned,
+    oversized short side falls back to the full square."""
+    from centermask2_tpu.data.bucketing import group_by_serving_canvas
+
+    sizes = [(480, 640),   # resize -> (800, 1066): canvas (800, 1344)
+             (640, 480),   # portrait -> (1066, 800): canvas (1344, 800)
+             (500, 500),   # square -> (800, 800): canvas (800, 800)
+             (480, 641)]   # -> (800, 1068): canvas (800, 1344)
+    groups = group_by_serving_canvas(list(range(4)), sizes, 1344, 800, 1333)
+    assert groups[(800, 1344)] == [0, 3]
+    assert groups[(1344, 800)] == [1]
+    assert groups[(800, 800)] == [2]

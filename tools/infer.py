@@ -107,11 +107,10 @@ def main():
     if args.tight_compute and not model.s2d_input:
         raise SystemExit("--tight-compute requires an s2d-input model "
                          "(TPU.S2D_STEM_INPUT)")
-    if args.tight_compute and (args.data_parallel or args.batch_size > 1):
-        raise SystemExit("--tight-compute is a single-image serving mode "
-                         "(per-image canvases cannot be batched)")
     if args.tight_compute:
         fn = None  # evaluate_dataset builds the per-canvas jitted forward
+        # (data-parallel: make_dp_inference is canvas-agnostic — batches
+        # grouped by serving canvas below run at that canvas directly)
     else:
         fn = jax.jit(lambda v, im, hw: model.apply(
             v, im, None, hw, canvas_hw=(fixed, fixed)))
@@ -188,21 +187,32 @@ def main():
                                     max_size=pre["max_size"])
         evaluator.process(img_id, post)
 
-    # shape-bucketed batched inference (BASELINE.json config)
+    # shape-bucketed batched inference (BASELINE.json config); with
+    # --tight-compute the batches are grouped by quantized tight canvas
+    # instead of square bucket and run at that rect canvas directly
     from centermask2_tpu.data.bucketing import (batches_from_groups,
-                                                group_by_bucket)
+                                                group_by_bucket,
+                                                group_by_serving_canvas)
 
     sizes = [(ds.imgs[i]["height"], ds.imgs[i]["width"]) for i in ids]
-    groups = group_by_bucket(ids, sizes, cfg.TPU.SIZE_BUCKETS,
-                             cfg.INPUT.MIN_SIZE_TEST,
-                             cfg.INPUT.MAX_SIZE_TEST)
+    if args.tight_compute:
+        groups = group_by_serving_canvas(ids, sizes, fixed,
+                                         cfg.INPUT.MIN_SIZE_TEST,
+                                         cfg.INPUT.MAX_SIZE_TEST)
+    else:
+        groups = group_by_bucket(ids, sizes, cfg.TPU.SIZE_BUCKETS,
+                                 cfg.INPUT.MIN_SIZE_TEST,
+                                 cfg.INPUT.MAX_SIZE_TEST)
     for bucket, chunk, n_real in batches_from_groups(groups, args.batch_size):
         # s2d models ship the RAW uint8 s2d pack at the bucket canvas
-        # (4x fewer host->device bytes; on-device normalization)
-        pres = [preprocess_for_model(ds.image_path(ids[i]), bucket,
+        # (4x fewer host->device bytes; on-device normalization);
+        # tight-compute packs at the group's serving canvas instead
+        pres = [preprocess_for_model(ds.image_path(ids[i]),
+                                     fixed if args.tight_compute else bucket,
                                      cfg.INPUT.MIN_SIZE_TEST,
                                      cfg.INPUT.MAX_SIZE_TEST,
-                                     s2d=model.s2d_input, u8=model.s2d_input)
+                                     s2d=model.s2d_input, u8=model.s2d_input,
+                                     tight=args.tight_compute)
                 for i in chunk]
         batch = jnp.asarray(np.concatenate([p["input"] for p in pres]))
         hw = (jnp.asarray(np.concatenate([p["valid_hw"] for p in pres]))
