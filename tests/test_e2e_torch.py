@@ -392,13 +392,14 @@ def _np_decode(logits, regs, ctrs):
     return (boxes[keep], scores[keep], classes[keep], locs[keep], n_cand)
 
 
-def _torch_pool(fpn_levels, boxes):
+def _torch_pool(fpn_levels, boxes, img_area=None):
     """Ratio level assignment + ROIAlignV2 -> (R, 14, 14, 256)."""
     from test_ops import np_roi_align
 
     R = len(boxes)
     areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
-    img_area = float(CANVAS * CANVAS)
+    if img_area is None:
+        img_area = float(CANVAS * CANVAS)
     lv = np.ceil(5 - np.log2(img_area / np.maximum(areas, 1e-12)
                              + 2.220446049250313e-16))
     lv = np.clip(lv, 3, 5).astype(np.int64) - 3
@@ -413,11 +414,12 @@ def _torch_pool(fpn_levels, boxes):
     return pooled
 
 
-def _torch_roi_branch(fpn_levels, sd, boxes, classes, scores):
+def _torch_roi_branch(fpn_levels, sd, boxes, classes, scores,
+                      img_area=None):
     """Ratio level assignment + ROIAlignV2 + SAG-Mask + MaskIoU."""
     mh, ih = "roi_heads.mask_head.", "roi_heads.maskiou_head."
     R = len(boxes)
-    pooled = _torch_pool(fpn_levels, boxes)
+    pooled = _torch_pool(fpn_levels, boxes, img_area)
 
     x = torch.from_numpy(pooled).permute(0, 3, 1, 2)  # (R, 256, 14, 14)
     for k in range(1, 5):
@@ -463,7 +465,11 @@ def test_full_model_torch_parity():
     rng = np.random.RandomState(42)
     sd = _make_state_dict(rng)
 
-    img = (rng.rand(CANVAS, CANVAS, 3).astype(np.float32) * 255.0
+    # RECT canvas (128, 160): the flagship cross-framework parity also
+    # pins the tight-compute serving shape class — location grids, FPN
+    # ceil shapes, ROI area-ratio assignment (img_area = H*W), and the
+    # whole mask branch must agree with torch on a non-square canvas
+    img = (rng.rand(128, CANVAS, 3).astype(np.float32) * 255.0
            - np.asarray([103.53, 116.28, 123.675], np.float32))
     xt = torch.from_numpy(img).permute(2, 0, 1)[None]
 
@@ -477,7 +483,8 @@ def test_full_model_torch_parity():
         assert len(t_boxes) > 3, "test needs detections to be meaningful"
         assert n_cand < 3000, "candidate count must stay below the caps"
         t_masks, t_mask_scores = _torch_roi_branch(
-            fpn, sd, t_boxes, t_classes, t_scores)
+            fpn, sd, t_boxes, t_classes, t_scores,
+            img_area=float(128 * CANVAS))
 
     # ---- JAX model from the converted checkpoint
     model = CenterMask(
