@@ -245,6 +245,12 @@ _C.TPU.SIZE_BUCKETS = [896, 1120, 1344]
 # drops all backbone activations from HBM at ~15% extra forward FLOPs,
 # for large-batch / large-resolution training.
 _C.TPU.REMAT_BACKBONE = False
+# Train with detectron2's geometry instead of the fixed deploy square:
+# aspect-ratio-grouped batches (d2 build.py aspect_ratio_grouping)
+# padded to the quantized tight canvas covering the batch — at most 4
+# padded shapes (4 compiled train programs), ~30-40% fewer pixels per
+# step for typical COCO. Step time scales ~linearly with canvas area.
+_C.TPU.TRAIN_TIGHT_PAD = False
 
 
 def get_cfg() -> CN:

@@ -223,6 +223,7 @@ def train_batches(
     random_flip: str = "horizontal",  # INPUT.RANDOM_FLIP: horizontal|none
     sampling: str = "choice",  # INPUT.MIN_SIZE_TRAIN_SAMPLING: choice|range
     with_keypoints: bool = False,  # MODEL.KEYPOINT_ON: add gt_keypoints
+    tight_pad: bool = False,  # TPU.TRAIN_TIGHT_PAD: per-batch tight canvas
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Infinite (or epochs-bounded) shuffled batch iterator with
     multi-scale jitter + random horizontal flip (INPUT.MIN_SIZE_TRAIN).
@@ -235,6 +236,17 @@ def train_batches(
     (DATALOADER.NUM_WORKERS — the reference's multi-worker DataLoader);
     augmentation draws happen serially first, so batches are
     bit-identical to workers=0 regardless of thread timing.
+
+    ``tight_pad`` reproduces detectron2's training geometry instead of
+    the fixed deploy square: batches are aspect-ratio grouped (d2's
+    dataloader default, build.py aspect_ratio_grouping) and padded to
+    the quantized tight canvas covering the batch (s2d_serving_canvas of
+    the max resized dims, with short = the largest multi-scale draw) —
+    at most 4 padded shapes => at most 4 compiled train programs, and
+    ~30-40% fewer pixels per step than the square for typical COCO.
+    Step time scales ~linearly with canvas area; padding locations are
+    FCOS negatives exactly as in d2. Epoch tails that cannot fill an
+    orientation group are batched mixed (canvas covers both).
     """
     assert random_flip in ("horizontal", "none"), random_flip
     assert sampling in ("choice", "range"), sampling
@@ -248,7 +260,7 @@ def train_batches(
             ds, batch_size, min_sizes=min_sizes, max_size=max_size,
             pad_to=pad_to, max_gt=max_gt, patch_size=patch_size, seed=seed,
             epochs=epochs, random_flip=random_flip, sampling=sampling,
-            pool=pool, with_keypoints=with_keypoints)
+            pool=pool, with_keypoints=with_keypoints, tight_pad=tight_pad)
     finally:
         if pool is not None:
             pool.shutdown(wait=False)
@@ -256,7 +268,8 @@ def train_batches(
 
 def _train_batches_inner(ds, batch_size, *, min_sizes, max_size, pad_to,
                          max_gt, patch_size, seed, epochs, random_flip,
-                         sampling, pool, with_keypoints=False):
+                         sampling, pool, with_keypoints=False,
+                         tight_pad=False):
     rng = np.random.RandomState(seed)
     lo, hi = int(min(min_sizes)), int(max(min_sizes))
 
@@ -265,31 +278,65 @@ def _train_batches_inner(ds, batch_size, *, min_sizes, max_size, pad_to,
             return int(rng.randint(lo, hi + 1))
         return int(rng.choice(min_sizes))
 
+    def emit(img_ids):
+        jobs = [
+            dict(img_id=int(img_id),
+                 short_edge=draw_short_edge(),
+                 hflip=(random_flip == "horizontal"
+                        and bool(rng.rand() < 0.5)))
+            for img_id in img_ids
+        ]
+        batch_pad = pad_to
+        if tight_pad:
+            from .preprocess import s2d_serving_canvas
+
+            mh = mw = 1
+            for job in jobs:
+                im = ds.imgs[job["img_id"]]
+                nh, nw = compute_resize_shape(
+                    im["height"], im["width"], job["short_edge"], max_size)
+                mh, mw = max(mh, nh), max(mw, nw)
+            # quantize with short = the LARGEST multi-scale draw so the
+            # canvas set is stable across draws (<= 4 shapes)
+            batch_pad = s2d_serving_canvas(mh, mw, pad_to[0], hi)
+
+        def load(job):
+            return load_train_example(
+                ds, job["img_id"], short_edge=job["short_edge"],
+                max_size=max_size, pad_to=batch_pad, max_gt=max_gt,
+                patch_size=patch_size, hflip=job["hflip"],
+                with_keypoints=with_keypoints)
+
+        examples = list(pool.map(load, jobs) if pool else map(load, jobs))
+        keys = ["image", "gt_boxes", "gt_classes", "gt_valid",
+                "gt_mask_patches", "image_size"]
+        if with_keypoints:
+            keys.append("gt_keypoints")
+        batch = {k: np.stack([e[k] for e in examples]) for k in keys}
+        batch["image_ids"] = [e["image_id"] for e in examples]
+        return batch
+
     epoch = 0
     while epochs is None or epoch < epochs:
         order = rng.permutation(ds.ids)
-        for start in range(0, len(order) - batch_size + 1, batch_size):
-            jobs = [
-                dict(img_id=int(img_id),
-                     short_edge=draw_short_edge(),
-                     hflip=(random_flip == "horizontal"
-                            and bool(rng.rand() < 0.5)))
-                for img_id in order[start:start + batch_size]
-            ]
-
-            def load(job):
-                return load_train_example(
-                    ds, job["img_id"], short_edge=job["short_edge"],
-                    max_size=max_size, pad_to=pad_to, max_gt=max_gt,
-                    patch_size=patch_size, hflip=job["hflip"],
-                    with_keypoints=with_keypoints)
-
-            examples = list(pool.map(load, jobs) if pool else map(load, jobs))
-            keys = ["image", "gt_boxes", "gt_classes", "gt_valid",
-                    "gt_mask_patches", "image_size"]
-            if with_keypoints:
-                keys.append("gt_keypoints")
-            batch = {k: np.stack([e[k] for e in examples]) for k in keys}
-            batch["image_ids"] = [e["image_id"] for e in examples]
-            yield batch
+        if not tight_pad:
+            for start in range(0, len(order) - batch_size + 1, batch_size):
+                yield emit(order[start:start + batch_size])
+        else:
+            # aspect-ratio grouping (d2 build.py aspect_ratio_grouping):
+            # two queues by original orientation; a full queue forms a
+            # batch, so landscape batches pad to (short, long) and
+            # portrait to (long, short) instead of the mixed square
+            queues = {True: [], False: []}
+            for img_id in order:
+                im = ds.imgs[int(img_id)]
+                q = queues[im["height"] > im["width"]]
+                q.append(img_id)
+                if len(q) == batch_size:
+                    yield emit(q)
+                    q.clear()
+            # epoch tail: mixed leftovers (canvas covers both)
+            rest = queues[True] + queues[False]
+            for start in range(0, len(rest) - batch_size + 1, batch_size):
+                yield emit(rest[start:start + batch_size])
         epoch += 1

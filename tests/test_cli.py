@@ -134,6 +134,10 @@ def test_infer_cli_tight_compute_data_parallel(tiny_coco, tmp_path):
 
 @pytest.mark.slow
 def test_train_cli_end_to_end(tiny_coco, tmp_path):
+    # TPU.TRAIN_TIGHT_PAD exercises the d2-geometry training path
+    # (aspect-grouped batches, per-batch tight canvas — both 300x260
+    # images train on the rect (224,256) canvas); the fixed-square
+    # training path stays covered by test_train_cli_keypoint_end_to_end
     out = tmp_path / "train_out"
     r = _run([
         "tools/train_net.py",
@@ -145,6 +149,7 @@ def test_train_cli_end_to_end(tiny_coco, tmp_path):
         "INPUT.MIN_SIZE_TEST", "224", "INPUT.MAX_SIZE_TEST", "250",
         "MODEL.MASK_ON", "True", "MODEL.MASKIOU_ON", "True",
         "TPU.FIXED_EDGE_SIZE", "256",
+        "TPU.TRAIN_TIGHT_PAD", "True",
         "MODEL.FCOS.PRE_NMS_TOPK_TRAIN", "50",
         "MODEL.FCOS.POST_NMS_TOPK_TRAIN", "20",
         "MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE", "32",

@@ -269,3 +269,54 @@ def test_filter_images_with_few_keypoints(tmp_path):
     assert filter_images_with_few_keypoints(ds, 2) == 1
     assert ds.ids == [3]
     assert filter_images_with_few_keypoints(ds, 0) == 0
+
+
+def test_train_batches_tight_pad_aspect_grouping(tmp_path):
+    """TPU.TRAIN_TIGHT_PAD: batches are aspect-ratio grouped (d2
+    build.py aspect_ratio_grouping) and padded to the quantized tight
+    canvas of the batch — full batches are single-orientation, the
+    canvas set stays tiny (bounded compile count), and padding beyond
+    each image is zero."""
+    d = tmp_path / "coco_mixed"
+    img_dir = d / "images"
+    os.makedirs(img_dir)
+    rng = np.random.RandomState(1)
+    images, anns = [], []
+    sizes = [(100, 150)] * 4 + [(150, 100)] * 4  # 4 landscape + 4 portrait
+    for i, (h, w) in enumerate(sizes, start=1):
+        Image.fromarray(rng.randint(0, 255, (h, w, 3), np.uint8)).save(
+            img_dir / f"{i}.jpg")
+        images.append({"id": i, "file_name": f"{i}.jpg",
+                       "height": h, "width": w})
+        anns.append({"id": i, "image_id": i, "category_id": 5,
+                     "iscrowd": 0, "bbox": [10, 20, 40, 50], "area": 2000,
+                     "segmentation": [[10, 20, 50, 20, 50, 70, 10, 70]]})
+    with open(d / "ann.json", "w") as f:
+        json.dump({"images": images, "annotations": anns,
+                   "categories": [{"id": 5, "name": "x"}]}, f)
+    ds = CocoDataset(str(d / "ann.json"), str(img_dir))
+
+    batches = list(train_batches(
+        ds, 2, min_sizes=(96,), max_size=160, pad_to=(160, 160),
+        max_gt=4, patch_size=16, epochs=1, seed=0, tight_pad=True))
+    assert len(batches) == 4
+    canvases = set()
+    orientations = []
+    for b in batches:
+        H, W = b["image"].shape[1:3]
+        assert H % 32 == 0 and W % 32 == 0
+        canvases.add((H, W))
+        orientations.append(H > W)
+        for k in range(b["image"].shape[0]):
+            ih, iw = b["image_size"][k]
+            assert ih <= H and iw <= W
+            # padding beyond the resized image is exactly zero
+            assert not b["image"][k, ih:, :].any()
+            assert not b["image"][k, :, iw:].any()
+            v = b["gt_valid"][k]
+            assert (b["gt_boxes"][k][v][:, 2] <= iw + 1e-3).all()
+            assert (b["gt_boxes"][k][v][:, 3] <= ih + 1e-3).all()
+    # landscape batches on the (96,160) rect, portrait on (160,96):
+    # strictly smaller than the square, single-orientation each
+    assert canvases == {(96, 160), (160, 96)}
+    assert sorted(orientations) == [False, False, True, True]

@@ -32,7 +32,14 @@ def main():
     from centermask2_tpu.train import make_optimizer
     from centermask2_tpu.train.trainer import create_train_state, make_train_step
 
-    edge = int(os.environ.get("BENCH_EDGE", "896"))
+    # BENCH_EDGE: square edge, or "HxW" for a rect canvas (the
+    # TPU.TRAIN_TIGHT_PAD d2-geometry step, e.g. 800x1344)
+    edge_spec = os.environ.get("BENCH_EDGE", "896")
+    if "x" in edge_spec:
+        eh, ew = (int(v) for v in edge_spec.split("x"))
+    else:
+        eh = ew = int(edge_spec)
+    edge = max(eh, ew)
     B = int(os.environ.get("BENCH_BATCH", "2"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     remat = os.environ.get("BENCH_REMAT", "0") == "1"
@@ -41,7 +48,7 @@ def main():
     model = CenterMask(conv_body="V-39-eSE", mask_on=True, maskiou_on=True,
                        remat_backbone=remat, s2d_input=s2d)
     rng = np.random.RandomState(0)
-    images = jnp.asarray(rng.randn(B, edge, edge, 3).astype(np.float32) * 30)
+    images = jnp.asarray(rng.randn(B, eh, ew, 3).astype(np.float32) * 30)
     if s2d:
         # training with TPU.S2D_STEM_INPUT: the host input pipeline
         # (train_net.py to_input) feeds the s2d layout; stem params stay
@@ -50,8 +57,8 @@ def main():
         images = jnp.asarray(stem_space_to_depth(np.asarray(images)))
     G = 20
     boxes = np.zeros((B, G, 4), np.float32)
-    boxes[..., 2:] = rng.uniform(40, edge / 2, (B, G, 2))
-    boxes[..., :2] = rng.uniform(0, edge / 2, (B, G, 2))
+    boxes[..., 2:] = rng.uniform(40, min(eh, ew) / 2, (B, G, 2))
+    boxes[..., :2] = rng.uniform(0, min(eh, ew) / 2, (B, G, 2))
     boxes[..., 2:] += boxes[..., :2]
     gt = GroundTruth(
         boxes=jnp.asarray(boxes),
@@ -96,7 +103,7 @@ def main():
         "metric": "centermask2_v39_train_step",
         "value": round(ms, 2),
         "unit": "ms/step",
-        "edge": edge,
+        "edge": edge_spec,
         "batch": B,
         "remat": remat,
         "s2d": s2d,

@@ -123,7 +123,8 @@ def main():
         random_flip=cfg.INPUT.RANDOM_FLIP,
         sampling=cfg.INPUT.MIN_SIZE_TRAIN_SAMPLING,
         workers=cfg.DATALOADER.NUM_WORKERS,
-        with_keypoints=cfg.MODEL.KEYPOINT_ON), depth=2)
+        with_keypoints=cfg.MODEL.KEYPOINT_ON,
+        tight_pad=cfg.TPU.TRAIN_TIGHT_PAD), depth=2)
 
     # periodic evaluation resources, hoisted: one jitted forward, one
     # annotation parse for the whole run (TEST.EVAL_PERIOD)
