@@ -73,7 +73,12 @@ def main():
     from centermask2_tpu.models import CenterMask
     from centermask2_tpu.models.fcos import compute_locations, decode_batch
 
-    edge = int(os.environ.get("BENCH_EDGE", "1344"))
+    # BENCH_EDGE: square edge, or "HxW" for a rect (tight-compute) canvas
+    edge_spec = os.environ.get("BENCH_EDGE", "1344")
+    if "x" in edge_spec:
+        eh, ew = (int(v) for v in edge_spec.split("x"))
+    else:
+        eh = ew = int(edge_spec)
     # match bench.py's serving config: s2d stem input + bf16 params
     # (override with BENCH_S2D=0 / BENCH_BF16=0 for the fp32 NHWC path)
     s2d = os.environ.get("BENCH_S2D", "1") == "1"
@@ -82,7 +87,7 @@ def main():
                        post_nms_topk_test=50, nms_candidates=1000,
                        s2d_input=s2d)
     rng = np.random.RandomState(0)
-    x_img = rng.randn(1, edge, edge, 3).astype(np.float32) * 30
+    x_img = rng.randn(1, eh, ew, 3).astype(np.float32) * 30
     x = jnp.asarray(stem_space_to_depth(x_img) if s2d else x_img)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
     if bf16:
