@@ -127,7 +127,7 @@ def multilevel_roi_align_pallas(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(R,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((None, P4, Cd, LANE),
                                lambda r, rows: (r, 0, 0, 0),
                                memory_space=pltpu.VMEM),
