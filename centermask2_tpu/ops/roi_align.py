@@ -111,7 +111,16 @@ def _blockify(f: jnp.ndarray) -> jnp.ndarray:
     static minor-dim slices of one gathered buffer (no relayout). The
     table build is 5 streaming passes over the feature map, ~0.12 ms at
     the V-39@1344 P3-P5 working set vs the ~0.6 ms it removes from the
-    gathers (profiled r4)."""
+    gathers (profiled r4).
+
+    Known headroom, deliberately left (r4): the fused table-build op
+    runs at ~40% of its HBM bound (0.22 vs 0.09 ms at the 800x1088
+    tight canvas) — the minor-dim 4C concat writes strided channel
+    blocks. Candidate reformulations (major-axis (4,S,C) stack with a
+    4-row gather; 2C x-block table with two row gathers) trade the
+    single-row-DMA property this design exists for, and sub-0.2 ms A/B
+    timing through the shared tunnel proved unmeasurable in degraded
+    windows; the section sits at 93-108% of its bound either way."""
     fx = jnp.concatenate([f[:, :, 1:], f[:, :, -1:]], axis=2)
     fy = jnp.concatenate([f[:, 1:], f[:, -1:]], axis=1)
     fxy = jnp.concatenate([fx[:, 1:], fx[:, -1:]], axis=1)
