@@ -333,6 +333,36 @@ def main():
                     break
             result["sustained_tight_images_per_sec"] = round(1.0 / sut, 1)
 
+            # device-resident sustained rate: the same async pipelined
+            # loop with all inputs PRE-STAGED on device — isolates chip
+            # throughput from the tunnel link, so degraded-link windows
+            # (tens of MB/s for hours) still yield a meaningful
+            # serving-throughput artifact. Real host-attached
+            # deployments sit between this and the link-inclusive
+            # sustained above (their PCIe moves 5.5 MB in <1 ms).
+            staged = [jax.device_put(jnp.asarray(
+                s2d_pack_u8_tight(im, edge))) for im in imgs]
+            jax.block_until_ready(staged)
+
+            def device_resident(n_imgs, d):
+                pending = deque()
+                t0 = time.perf_counter()
+                for i in range(n_imgs):
+                    pending.append(single_t(params, staged[i % 4], hw))
+                    if len(pending) > d:
+                        jax.block_until_ready(pending.popleft())
+                while pending:
+                    jax.block_until_ready(pending.popleft())
+                return (time.perf_counter() - t0) / n_imgs
+
+            device_resident(4, 2)  # warm
+            t_start, dres = time.perf_counter(), float("inf")
+            for _ in range(6):
+                dres = min(dres, device_resident(24, 2))
+                if time.perf_counter() - t_start > 45:
+                    break
+            result["device_resident_images_per_sec"] = round(1.0 / dres, 1)
+
         # host->device link characterization: when the sustained number
         # is far below 1000/max(host_ms, device_ms), the gap is the
         # link, not the pipeline. Measure it: synchronized fresh-buffer
