@@ -84,6 +84,28 @@ def test_infer_cli_end_to_end(tiny_coco, tmp_path):
 
 
 @pytest.mark.slow
+def test_visualize_cli(tiny_coco, tmp_path):
+    """tools/visualize.py end to end: preprocess -> model -> postprocess
+    -> cv2 rendering at the original size (reference visualizer.py
+    analog). Random weights: asserts the tool runs and writes the file,
+    whatever the detection count."""
+    out = tmp_path / "vis.jpg"
+    r = _run([
+        "tools/visualize.py",
+        "--image", str(tiny_coco / "images" / "000000000000.jpg"),
+        "--config-file", "configs/centermask/zy_model_config.yaml",
+        "--output", str(out),
+        "--score-thresh", "0.0",
+        "TPU.FIXED_EDGE_SIZE", "320",
+        "MODEL.FCOS.PRE_NMS_TOPK_TEST", "50",
+        "INPUT.MIN_SIZE_TEST", "256", "INPUT.MAX_SIZE_TEST", "312",
+    ] + TINY_OPTS)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert out.exists() and out.stat().st_size > 1000
+    assert "wrote" in r.stdout
+
+
+@pytest.mark.slow
 def test_infer_cli_tight_compute(tiny_coco, tmp_path):
     """--tight-compute: the device program runs at each image's quantized
     tight canvas (s2d_serving_canvas) instead of the fixed square — the
