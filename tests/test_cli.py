@@ -309,3 +309,55 @@ def test_train_cli_keypoint_end_to_end(tiny_coco_kp, tmp_path):
             for l in (out / "metrics.jsonl").read_text().strip().splitlines()]
     assert any("loss_keypoint" in rec and np.isfinite(rec["loss_keypoint"])
                for rec in recs), r.stdout[-2000:]
+
+
+def test_bin_pipeline_cli(tiny_coco, tmp_path):
+    """The offline device pipeline (SURVEY §3.3): preprocess_to_bin
+    writes the reference byte contract (f32 NCHW 1x3x1344x1344 +
+    manifest), postprocess_bins evaluates {stem}_{1..6}.bin output
+    dumps. Synthesized outputs place one detection on each GT box in
+    network coords, so bbox AP must be positive. No device involved."""
+    import sys as _sys
+
+    bins = tmp_path / "bins"
+    r = _run(["tools/preprocess_to_bin.py",
+              "--ann", str(tiny_coco / "ann.json"),
+              "--image-root", str(tiny_coco / "images"),
+              "--out", str(bins)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (bins / "bin_info.txt").exists()
+    raws = sorted(bins.glob("*.jpg.bin")) or sorted(bins.glob("0*.bin"))
+    assert len([p for p in raws if "_" not in p.name[:12]]) >= 2
+    first = next(p for p in bins.iterdir() if p.suffix == ".bin")
+    assert first.stat().st_size == 4 * 3 * 1344 * 1344
+
+    _sys.path.insert(0, REPO)
+    from centermask2_tpu.data.bin_io import write_output_bins
+
+    ann = json.loads((tiny_coco / "ann.json").read_text())
+    for im in ann["images"]:
+        gt_ann = next(a for a in ann["annotations"]
+                      if a["image_id"] == im["id"])
+        x, y, w, h = gt_ann["bbox"]
+        scale = 800.0 / min(im["height"], im["width"])
+        box = np.array([[x * scale, y * scale,
+                         (x + w) * scale, (y + h) * scale]], np.float32)
+        outs = [
+            np.zeros((1, 2), np.float32),            # locations
+            np.array([0.9], np.float32),             # mask_scores
+            box,                                     # pred_boxes (network)
+            np.array([0], np.int64),                 # pred_classes
+            np.ones((1, 1, 28, 28), np.float32),     # pred_masks
+            np.array([0.9], np.float32),             # scores
+        ]
+        stem = os.path.splitext(im["file_name"])[0]
+        write_output_bins(outs, str(bins / stem))
+
+    r = _run(["tools/postprocess_bins.py",
+              "--ann", str(tiny_coco / "ann.json"),
+              "--bin-dir", str(bins)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "== bbox ==" in r.stdout and "== segm ==" in r.stdout
+    ap = float(r.stdout.split("== bbox ==")[1].splitlines()[1]
+               .split("AP=")[1].split(",")[0])
+    assert ap > 50.0, r.stdout[-1500:]
