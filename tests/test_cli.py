@@ -361,3 +361,33 @@ def test_bin_pipeline_cli(tiny_coco, tmp_path):
     ap = float(r.stdout.split("== bbox ==")[1].splitlines()[1]
                .split("AP=")[1].split(",")[0])
     assert ap > 50.0, r.stdout[-1500:]
+
+
+@pytest.mark.slow
+def test_debug_tools_cli(tiny_coco, tmp_path):
+    """The L7 debug/parity tools run end to end on a tiny config:
+    parity_check (direct | exported | bins three-way ladder),
+    check_layers dump+compare (self-compare => all-green cosine),
+    measure (params/FLOPs/bytes)."""
+    small = [
+        "--config-file", "configs/centermask/zy_model_config.yaml",
+        "TPU.FIXED_EDGE_SIZE", "128",
+        "MODEL.FCOS.PRE_NMS_TOPK_TEST", "20",
+        "MODEL.FCOS.POST_NMS_TOPK_TEST", "5", "TPU.NMS_CANDIDATES", "20",
+        "MODEL.VOVNET.CONV_BODY", "V-19-slim-eSE",
+        "TPU.COMPUTE_DTYPE", "float32",
+    ]
+    r = _run(["tools/parity_check.py"] + small)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "PASS" in r.stdout or "ok" in r.stdout.lower(), r.stdout[-800:]
+
+    d1 = tmp_path / "dump1.npz"
+    r = _run(["tools/check_layers.py", "dump", "--out", str(d1)] + small)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert d1.exists()
+    r = _run(["tools/check_layers.py", "compare", str(d1), str(d1)])
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    r = _run(["tools/measure.py", "--edge", "128"] + small)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "params" in r.stdout.lower() or "flop" in r.stdout.lower()

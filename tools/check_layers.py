@@ -98,7 +98,11 @@ def cmd_dump(args, opts):
         mutable=["intermediates"])
     flat = flatten_intermediates(
         jax.tree.map(np.asarray, state["intermediates"]))
-    np.savez_compressed(args.out, **{k: v for k, v in flat.items()})
+    # keep only numeric activations: an exotic leaf (None/object capture)
+    # becomes an object array, which np.load refuses without pickle
+    flat = {k: v for k, v in flat.items()
+            if v.dtype != object and v.dtype.kind in "fiub"}
+    np.savez_compressed(args.out, **flat)
     print(f"wrote {len(flat)} activations to {args.out}")
     for k in sorted(flat)[: args.list or 10]:
         print(f"  {k}: {flat[k].shape}")
