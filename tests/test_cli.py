@@ -391,3 +391,31 @@ def test_debug_tools_cli(tiny_coco, tmp_path):
     r = _run(["tools/measure.py", "--edge", "128"] + small)
     assert r.returncode == 0, r.stderr[-3000:]
     assert "params" in r.stdout.lower() or "flop" in r.stdout.lower()
+
+
+@pytest.mark.slow
+def test_export_model_cli(tmp_path):
+    """tools/export_model.py serializes the AOT artifact (plain f32 and
+    the --serving-u8 --tight --tight-compute rect-canvas program)."""
+    cfg = ["--config-file", "configs/centermask/zy_model_config.yaml"]
+    opts = [
+        "TPU.FIXED_EDGE_SIZE", "128",
+        "MODEL.FCOS.PRE_NMS_TOPK_TEST", "20",
+        "MODEL.FCOS.POST_NMS_TOPK_TEST", "5", "TPU.NMS_CANDIDATES", "20",
+        "MODEL.VOVNET.CONV_BODY", "V-19-slim-eSE",
+        "TPU.COMPUTE_DTYPE", "float32",
+    ]
+    out1 = tmp_path / "model.jaxir"
+    r = _run(["tools/export_model.py", "--out", str(out1)] + cfg + opts)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert out1.exists() and out1.stat().st_size > 10000
+    assert "exported" in r.stdout
+
+    out2 = tmp_path / "serving_tc.jaxir"
+    r = _run(["tools/export_model.py", "--out", str(out2),
+              "--serving-u8", "--tight", "landscape", "--tight-compute"]
+             + cfg + opts
+             + ["INPUT.MIN_SIZE_TEST", "96", "TPU.S2D_STEM_INPUT", "True"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert out2.exists()
+    assert "canvas (96, 128)" in r.stdout, r.stdout[-500:]
