@@ -1,10 +1,13 @@
 """End-to-end CLI smoke tests (subprocess, CPU, tiny configs).
 
-Locks the tool entry points the verify workflow drives by hand:
-tools/infer.py (preprocess -> model -> postprocess -> COCO eval) and
-tools/train_net.py (DP train loop + checkpointing). Tiny synthetic
-COCO data, V-19-slim backbone, small canvases — each run is
-compile-dominated (~1-2 min on CPU).
+Locks every tool entry point: infer.py (single / tight-compute /
+data-parallel tight), train_net.py (tight-pad and square geometries,
+keypoints), the AP-parity drill (convert_weights -> orbax -> infer),
+visualize.py, the offline bin pipeline (preprocess_to_bin ->
+postprocess_bins), the L7 debug tools (parity_check, check_layers,
+measure), and export_model.py. Tiny synthetic COCO data, V-19-slim
+backbone, small canvases — each model-bearing run is compile-dominated
+(~15 s - 2 min on CPU with the persistent compilation cache).
 """
 
 import json
