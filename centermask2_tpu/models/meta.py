@@ -409,7 +409,9 @@ class CenterMask(nn.Module):
         (measured 16.3 ms/img at B=4 vs 9.2 ms/img single in the first
         round-2 profile; re-measured 15.4 vs 8.9 after the eSE
         dense-gate and ROI-pool rewrites, so the regression is the conv
-        layouts themselves) — so the fastest batched throughput is the
+        layouts themselves; re-measured AGAIN at the r4 tight canvas:
+        7.13 ms/img at B=2/800x1088 vs 5.60 single — holds at every
+        shape class tried) — so the fastest batched throughput is the
         optimized B=1 graph run per image under lax.map. For multi-chip
         throughput, shard the batch instead (parallel/serve.py).
 
