@@ -130,6 +130,13 @@ def main():
         cfg.merge_from_list(args.opts)
 
     model = build_centermask(cfg)
+    if not cfg.MODEL.MASK_ON:
+        # the raw config default is MASK_ON=False (reference defaults.py);
+        # profiling it silently drops the whole roi/mask branch (~22 ms
+        # of a 66 ms train step) — say so loudly
+        print("[warn] MODEL.MASK_ON is False: profiling a MASKLESS graph "
+              "(pass MODEL.MASK_ON True MODEL.MASKIOU_ON True for the "
+              "flagship pipeline)", file=sys.stderr)
     fixed = cfg.TPU.FIXED_EDGE_SIZE
     rng = np.random.RandomState(0)
     x_img = rng.randn(args.batch, fixed, fixed, 3).astype(np.float32) * 30
