@@ -1,19 +1,29 @@
 """End-to-end inference benchmark on the flagship config.
 
 Measures the full CenterMask2 V-39-eSE pipeline (backbone -> FPN ->
-FCOS decode+NMS -> SAG-Mask -> MaskIoU) at the reference's fixed
-1344x1344 deployment shape (deploy_utils.py:19-21), and reports:
+FCOS decode+NMS -> SAG-Mask -> MaskIoU) on one chip and reports:
 
-- value / unit / vs_baseline: single-image DEVICE latency (ms) vs the
-  reference's 0.050 s/image (README.md:171-173; BASELINE.md),
+- value / unit / vs_baseline: single-image DEVICE latency (ms) at the
+  **d2-eval-equivalent workload** — a typical val2017 image resized to
+  shortest-edge 800 and padded to /32 (800x1088) — vs the reference's
+  0.050 s/image (README.md:171-173; BASELINE.md). That baseline was
+  measured by upstream CenterMask2 in *detectron2 eval*, which runs
+  exactly these tight /32 shapes, so this is the apples-to-apples
+  comparison. Served here via `tools/infer.py --tight-compute`.
+- square_1344_ms / square_1344_vs_baseline: the same pipeline at the
+  reference's fixed 1344x1344 ONNX-deploy square (deploy_utils.py:19-21)
+  — 1.9x more pixels than the workload the baseline number came from;
+  reported so the stricter deploy contract stays on record (it was the
+  primary metric in rounds 1-3).
 - host_preprocess_ms: the fused normalize+pad+space-to-depth host
   transform feeding the s2d stem (native kernel, data/native/s2d.cpp),
 - sustained_images_per_sec: wall-clock rate of the PIPELINED serving
   loop — host transform + host->device transfer + device compute with
   async dispatch (image i+1 dispatched before blocking on i), i.e. the
   number that counts ALL per-image work on one chip + one host core,
-- achieved_tflops / mfu: HLO flops (XLA cost analysis) / device time /
-  chip peak,
+- achieved_tflops / mfu: HLO flops (XLA cost analysis) of the primary
+  (tight-canvas) program / device time / chip peak; square_mfu likewise
+  for the deploy square,
 - batched_images_per_sec: same pipelined loop at the requested depth
   (the fastest single-chip batched mode — XLA's B>1 conv layouts
   regress, see CenterMask.inference_batched).
@@ -29,7 +39,7 @@ import time
 
 import numpy as np
 
-_METRIC = "centermask2_v39_inference_latency_1344"
+_METRIC = "centermask2_v39_inference_latency_d2eval"
 
 
 def _emit_error(msg: str) -> None:
@@ -89,7 +99,8 @@ def main():
     apply_platform_override()
     import jax.numpy as jnp
 
-    from centermask2_tpu.data.preprocess import s2d_preprocess
+    from centermask2_tpu.data.preprocess import (PIXEL_MEAN, s2d_preprocess,
+                                                 stem_space_to_depth)
     from centermask2_tpu.models import CenterMask
     from centermask2_tpu.utils.measures import chip_peak_flops
 
@@ -97,7 +108,9 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "20"))
 
     model = CenterMask(
-        conv_body="V-39-eSE",
+        # BENCH_BODY: CI smoke-tests this script on CPU with a lite spec;
+        # the driver always runs the default flagship
+        conv_body=os.environ.get("BENCH_BODY", "V-39-eSE"),
         mask_on=True,
         maskiou_on=True,
         post_nms_topk_test=50,
@@ -116,6 +129,15 @@ def main():
     params = jax.tree.map(
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
         params)
+
+    # primary workload: the d2-eval tight canvas. A typical val2017 image
+    # (640x480) resizes to 800x1066 and pads to /32 => 800x1088.
+    th, tw = (800, 1088) if edge >= 1088 else (edge, edge)
+    img_t = (rng.rand(min(800, th), min(1066, tw), 3) * 255).astype(np.uint8)
+    canvas = np.zeros((th, tw, 3), np.float32)
+    canvas[:img_t.shape[0], :img_t.shape[1]] = (
+        img_t.astype(np.float32) - np.asarray(PIXEL_MEAN, np.float32))
+    xt = jnp.asarray(stem_space_to_depth(canvas[None]))
 
     # --- device latency: n model evaluations inside ONE jitted fori_loop,
     # each on a distinct input (per-iteration scale) with outputs
@@ -141,9 +163,6 @@ def main():
         k = model.post_nms_topk_test
         return jax.lax.fori_loop(0, n, body, jnp.zeros((1, k), jnp.float32))
 
-    fn = jax.jit(chained)
-    jax.block_until_ready(fn(params, x, 1))  # compile + warm up
-
     # The axon tunnel time-shares: individual repeats see ~1 ms of
     # interference, and whole multi-minute windows can run 15-20% slow.
     # Two defenses: (a) min(t_many) and min(t_one) are taken SEPARATELY
@@ -151,43 +170,52 @@ def main():
     # repeat whose n=1 baseline catches interference while the n=iters
     # run does not underestimates, and min selects exactly those
     # samples); each min alone converges to the uncontended time.
-    # (b) sample across a ~2-minute budget (>=8 repeats regardless) so a
-    # briefly-degraded window doesn't own every sample.
-    # 4 min of sampling: degraded tunnel windows last tens of minutes,
-    # but brief good sub-windows do occur — more samples, more chances
-    # for min() to catch one (rounds 3-4 both saw >1 ms window swing)
-    # reserve ~6 min for the secondary sections (tight canvas, host,
-    # pipelined serving, link) — they shrink further if this runs long
+    # (b) sample across a multi-minute budget (>=8 repeats regardless) so
+    # a briefly-degraded window doesn't own every sample — degraded
+    # windows last tens of minutes, but brief good sub-windows do occur.
+    def chained_latency(im, budget_s, min_reps=8, max_reps=64):
+        fn = jax.jit(chained)
+        jax.block_until_ready(fn(params, im, 1))  # compile + warm up
+        best_one = best_many = float("inf")
+        t_start = time.perf_counter()
+        rep = 0
+        while rep < min_reps or (time.perf_counter() - t_start < budget_s
+                                 and rep < max_reps):
+            rep += 1
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(params, im, 1))
+            best_one = min(best_one, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(params, im, iters))
+            best_many = min(best_many, time.perf_counter() - t0)
+        return max((best_many - best_one) / (iters - 1), 1e-9)
+
+    # reserve ~6 min for the secondary sections (deploy square, host,
+    # pipelined serving, link) — they shrink or drop before this does
     budget_s = min(float(os.environ.get("BENCH_BUDGET_S", "240")),
                    max(60.0, time_left() - 360.0))
-    best_one = best_many = float("inf")
-    t_start = time.perf_counter()
-    rep = 0
-    while rep < 8 or (time.perf_counter() - t_start < budget_s
-                      and rep < 64):
-        rep += 1
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(params, x, 1))
-        best_one = min(best_one, time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(params, x, iters))
-        best_many = min(best_many, time.perf_counter() - t0)
-    dt = max((best_many - best_one) / (iters - 1), 1e-9)
-
-    ms = dt * 1000.0
+    dt = chained_latency(xt, budget_s)
     baseline_s = 0.050  # reference V100 inference time (README.md:171-173)
 
     result = {
         "metric": _METRIC,
-        "value": round(ms, 3),
+        "value": round(dt * 1000.0, 3),
         "unit": "ms/image",
         "vs_baseline": round(baseline_s / dt, 3),
+        "canvas": [th, tw],
+        "workload_note": (
+            "the 0.050 s/img baseline was measured in detectron2 eval at "
+            "tight /32 shapes (~800x1088 for a typical val2017 image); the "
+            "primary value times that apples-to-apples workload "
+            "(infer.py --tight-compute serving mode), while "
+            "square_1344_ms times the 1.9x-larger fixed 1344x1344 "
+            "ONNX-deploy square (rounds 1-3's primary metric)"),
     }
 
-    # --- MFU: exact HLO flops of the single-image program / device time
+    # --- MFU: exact HLO flops of the single-image programs / device time
     try:
-        single = jax.jit(lambda p, im: model.apply(p, im))
-        cost = single.lower(params, x).compile().cost_analysis()
+        single_t = jax.jit(lambda p, im: model.apply(p, im))
+        cost = single_t.lower(params, xt).compile().cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0)) if cost else 0.0
@@ -201,54 +229,30 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"[warn] cost analysis failed: {e!r}", file=sys.stderr)
 
-    # --- tight-canvas latency: the d2-equivalent workload. The reference's
-    # 0.050 s/img was measured by upstream CenterMask2 in detectron2 eval,
-    # where a typical val2017 image (640x480) runs resized to 800x1066 and
-    # padded only to /32 => an 800x1088 tensor — NOT the fixed 1344x1344
-    # deploy square the primary metric above uses (1.9x more pixels). This
-    # section times the SAME pipeline at that workload: the model is fully
-    # convolutional and the eSE gate pools over the padded canvas exactly
-    # as the reference's does at this shape, so this is the direct
-    # apples-to-apples latency vs the published baseline.
+    # --- deploy-square latency: the reference's fixed 1344x1344 export
+    # contract (deploy_utils.py:19-21). A failure here must never lose
+    # the primary metric.
+    dt_sq = None
     try:
-        from centermask2_tpu.data.preprocess import (PIXEL_MEAN,
-                                                     stem_space_to_depth)
-
+        if (edge, edge) == (th, tw):
+            raise ValueError("square equals primary canvas: skip")
         if time_left() < 150:
-            raise TimeoutError("deadline: skipping tight-canvas section")
-        th, tw = (800, 1088) if edge >= 1088 else (edge, edge)
-        img_t = (rng.rand(min(800, th), min(1066, tw), 3) * 255).astype(
-            np.uint8)
-        canvas = np.zeros((th, tw, 3), np.float32)
-        canvas[:img_t.shape[0], :img_t.shape[1]] = (
-            img_t.astype(np.float32) - np.asarray(PIXEL_MEAN, np.float32))
-        xt = jnp.asarray(stem_space_to_depth(canvas[None]))
-        fn_t = jax.jit(chained)
-        jax.block_until_ready(fn_t(params, xt, 1))
-        t_start = time.perf_counter()
-        b1 = bm = float("inf")
-        rep = 0
-        tb = min(75.0, max(15.0, time_left() - 240.0))
-        while rep < 6 or (time.perf_counter() - t_start < tb and rep < 32):
-            rep += 1
-            t0 = time.perf_counter()
-            jax.block_until_ready(fn_t(params, xt, 1))
-            b1 = min(b1, time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            jax.block_until_ready(fn_t(params, xt, iters))
-            bm = min(bm, time.perf_counter() - t0)
-        dt_t = max((bm - b1) / (iters - 1), 1e-9)
-        result["tight_canvas"] = [th, tw]
-        result["tight_canvas_ms"] = round(dt_t * 1000.0, 3)
-        result["tight_canvas_vs_baseline"] = round(baseline_s / dt_t, 3)
-        result["workload_note"] = (
-            "the 0.050 s/img baseline was measured in detectron2 eval at "
-            "tight /32 shapes (~800x1088 for a typical val2017 image); "
-            "tight_canvas_ms is that apples-to-apples workload, while the "
-            "primary value conservatively times the 1.9x-larger fixed "
-            "1344x1344 ONNX-deploy square")
+            raise TimeoutError("deadline: skipping deploy-square section")
+        dt_sq = chained_latency(
+            x, min(75.0, max(15.0, time_left() - 240.0)),
+            min_reps=6, max_reps=32)
+        result[f"square_{edge}_ms"] = round(dt_sq * 1000.0, 3)
+        result[f"square_{edge}_vs_baseline"] = round(baseline_s / dt_sq, 3)
+        cost = jax.jit(lambda p, im: model.apply(p, im)).lower(
+            params, x).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) if cost else 0.0
+        peak = chip_peak_flops()
+        if flops > 0 and peak > 0:
+            result[f"square_{edge}_mfu"] = round(flops / dt_sq / peak, 3)
     except Exception as e:  # pragma: no cover
-        print(f"[warn] tight-canvas bench failed: {e!r}", file=sys.stderr)
+        print(f"[warn] deploy-square bench failed: {e!r}", file=sys.stderr)
 
     # --- host preprocessing: the fused normalize+pad+s2d native kernel
     hp = float("inf")
@@ -266,6 +270,8 @@ def main():
     # A failure here must never lose the primary metric.
     depth = int(os.environ.get("BENCH_BATCH", "4"))
     try:
+        if time_left() < 150:
+            raise TimeoutError("deadline: skipping serving sections")
         from collections import deque
 
         from centermask2_tpu.data.preprocess import s2d_pack_u8_tight
@@ -323,12 +329,12 @@ def main():
         # For this 800x1333 input the tight pack already sits on the
         # (800,1344) serving canvas: 1.68x less device compute.
         if time_left() >= 120:
-            single_t = jax.jit(
+            single_tc = jax.jit(
                 lambda p, im, hw: model.apply(p, im, None, hw))
-            jax.block_until_ready(single_t(params, xu, hw))
+            jax.block_until_ready(single_tc(params, xu, hw))
             t_start, sut = time.perf_counter(), float("inf")
             for _ in range(6):
-                sut = min(sut, pipelined(n_imgs, 2, single_t))
+                sut = min(sut, pipelined(n_imgs, 2, single_tc))
                 if time.perf_counter() - t_start > 60:
                     break
             result["sustained_tight_images_per_sec"] = round(1.0 / sut, 1)
@@ -348,7 +354,7 @@ def main():
                 pending = deque()
                 t0 = time.perf_counter()
                 for i in range(n_imgs):
-                    pending.append(single_t(params, staged[i % 4], hw))
+                    pending.append(single_tc(params, staged[i % 4], hw))
                     if len(pending) > d:
                         jax.block_until_ready(pending.popleft())
                 while pending:
@@ -383,7 +389,7 @@ def main():
         # projected sustained rate with a host-attached (PCIe-class)
         # link, where the 5.5 MB transfer is <1 ms: the pipeline is then
         # bound by max(host transform, device latency)
-        bound = max(hp, dt)
+        bound = max(hp, dt_sq if dt_sq else dt)
         result["projected_host_attached_images_per_sec"] = round(
             1.0 / bound, 1)
     except Exception as e:  # pragma: no cover
