@@ -89,8 +89,16 @@ def make_train_step(
         return TrainState(state.step + 1, new_params, new_opt,
                           new_state), metrics
 
+    # Donate the input TrainState: without aliasing, every jit-boundary
+    # step pays a full copy of params + momentum (~300 MB f32 for the
+    # flagship) that the chained-fori_loop benchmarks never see — real
+    # training (tools/train_net.py) does. Callers must not reuse the
+    # input state after the call (standard flax TrainState discipline);
+    # inside an outer trace (lax.fori_loop bodies, nested jit) the
+    # donation annotation is inert, so the benchmarking tools are
+    # unaffected.
     if mesh is None:
-        return jax.jit(local_step)
+        return jax.jit(local_step, donate_argnums=(0,))
 
     rep = P()
     sharded = P(axis)
@@ -104,4 +112,4 @@ def make_train_step(
     def sharded_step(state, images, gt, rng):
         return local_step(state, images, gt, rng, axis_name=axis)
 
-    return jax.jit(sharded_step)
+    return jax.jit(sharded_step, donate_argnums=(0,))

@@ -422,3 +422,31 @@ def test_export_model_cli(tmp_path):
     assert r.returncode == 0, r.stderr[-3000:]
     assert out2.exists()
     assert "canvas (96, 128)" in r.stdout, r.stdout[-500:]
+
+
+@pytest.mark.slow
+def test_bench_cpu_smoke(tmp_path):
+    """bench.py is the driver's BENCH artifact — a regression there loses
+    the round's perf record. Run it end to end on CPU (lite body, tiny
+    canvas, deadline forcing the secondary sections to self-skip) and
+    assert the contract: ONE parseable JSON line, non-null value,
+    vs_baseline present."""
+    env = dict(os.environ)
+    env.update(CM2_PLATFORM="cpu", JAX_PLATFORMS="cpu",
+               BENCH_BODY="V-19-slim-eSE", BENCH_EDGE="256",
+               BENCH_ITERS="2", BENCH_BUDGET_S="1", BENCH_DEADLINE_S="60")
+    r = subprocess.run([sys.executable, "bench.py"], cwd=REPO, env=env,
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-3000:]
+    lines = [ln for ln in r.stdout.strip().splitlines()
+             if ln.startswith("{")]
+    assert len(lines) == 1, r.stdout[-2000:]
+    rec = json.loads(lines[0])
+    assert rec["metric"] == "centermask2_v39_inference_latency_d2eval"
+    assert rec["unit"] == "ms/image"
+    assert rec.get("error") is None
+    assert rec["value"] and rec["value"] > 0
+    assert rec["vs_baseline"] and rec["vs_baseline"] > 0
+    assert rec["canvas"] == [256, 256]
+    # host preprocessing always reports (native s2d kernel)
+    assert rec["host_preprocess_ms"] > 0

@@ -403,9 +403,11 @@ def _run_parity_step(model, images, gt, n_devices):
         mesh, jax.sharding.PartitionSpec()))
     im, g = shard_batch((images, gt), mesh)
     step = make_train_step(model, opt, mesh=mesh)
+    # snapshot before the step: the input state is DONATED (trainer.py)
+    params_before = jax.tree.map(np.asarray, state.params)
     new_state, metrics = step(state, im, g, jax.random.PRNGKey(1))
-    deltas = jax.tree.map(lambda a, b: np.asarray(a) - np.asarray(b),
-                          new_state.params, state.params)
+    deltas = jax.tree.map(lambda a, b: np.asarray(a) - b,
+                          new_state.params, params_before)
     return deltas, jax.tree.map(float, metrics), new_state.model_state
 
 
@@ -498,6 +500,20 @@ def test_dryrun_multichip_2dev():
 
     assert len(jax.devices()) >= 2, "conftest should provide 8 CPU devices"
     ge.dryrun_multichip(2)
+
+
+@pytest.mark.slow
+def test_entry_traces():
+    """The driver contract's other half: __graft_entry__.entry() must
+    stay importable and its fn jit-traceable at the declared example
+    args (abstract lowering only — no CPU execution of the 832 canvas)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    lowered = jax.jit(fn).lower(*args)
+    assert lowered is not None
 
 
 @pytest.mark.slow
