@@ -20,19 +20,21 @@ from __future__ import annotations
 
 from typing import List, Sequence, Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
 
-def _sample_coords(
+def _axis_coords(
     boxes: jnp.ndarray,  # (R, 4) in image coords
     scale: jnp.ndarray,  # (R,) spatial scale of each ROI's level
     output_size: int,
     sampling_ratio: int,
     aligned: bool,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Return (ys, xs): (R, P) sample coordinates in level-feature coords,
-    P = (output_size * sampling_ratio)^2, ordered (ph, iy, pw, ix)."""
+    """Per-axis sample positions (ys, xs), each (R, output_size*sampling_ratio)
+    in level-feature coords; index p along an axis is bin p//s, tap p%s."""
     offset = 0.5 if aligned else 0.0
     x0 = boxes[:, 0] * scale - offset
     y0 = boxes[:, 1] * scale - offset
@@ -51,6 +53,20 @@ def _sample_coords(
     grid = (jnp.arange(n_pts, dtype=jnp.float32) + 0.5) / s  # (n_pts,)
     ys = y0[:, None] + grid[None, :] * (roi_h / output_size)[:, None]  # (R, n_pts)
     xs = x0[:, None] + grid[None, :] * (roi_w / output_size)[:, None]
+    return ys, xs
+
+
+def _sample_coords(
+    boxes: jnp.ndarray,  # (R, 4) in image coords
+    scale: jnp.ndarray,  # (R,) spatial scale of each ROI's level
+    output_size: int,
+    sampling_ratio: int,
+    aligned: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Return (ys, xs): (R, P) sample coordinates in level-feature coords,
+    P = (output_size * sampling_ratio)^2, ordered (ph, iy, pw, ix)."""
+    n_pts = output_size * sampling_ratio
+    ys, xs = _axis_coords(boxes, scale, output_size, sampling_ratio, aligned)
     # full 2D grid: (R, n_pts, n_pts)
     ys2 = jnp.broadcast_to(ys[:, :, None], (*ys.shape, n_pts))
     xs2 = jnp.broadcast_to(xs[:, None, :], (*xs.shape[:1], n_pts, n_pts))
@@ -171,11 +187,22 @@ def multilevel_roi_align(
     output_size: int,
     sampling_ratio: int = 2,
     aligned: bool = True,
+    separable_grad: bool = True,
 ) -> jnp.ndarray:
     """Multi-level ROIAlign via one unified gather -> (R, o, o, C).
 
     Replaces the reference's per-level nonzero+scatter loop
     (pooler.py:355-365) with level-offset global indices.
+
+    ``separable_grad`` (default) installs a custom VJP that computes the
+    feature gradient as two MXU matmuls per level (the bilinear+bin-average
+    pool is separable: out_r = Ay_r @ feat @ Ax_r^T), replacing the
+    row-scatter-add XLA autodiff emits for the gather — profiled at 7.5 ms
+    (11% of the train step) vs ~0.5 ms for the matmul form at the V-39
+    896^2/B=2 training shapes. Box/level/batch cotangents are zero, which
+    is exact for the framework: torchvision's ROIAlign backward likewise
+    only produces grad_input, and proposals are detached before ROI
+    training (reference center_heads.py:178; models/meta.py:482).
 
     ``sampling_ratio=0`` selects detectron2's adaptive semantics
     (grid = ceil(roi_size/output_size) samples per bin, the shipped
@@ -189,7 +216,8 @@ def multilevel_roi_align(
     if sampling_ratio == 0:
         pools = [
             multilevel_roi_align(features, boxes, batch_indices, levels,
-                                 scales, output_size, s, aligned)
+                                 scales, output_size, s, aligned,
+                                 separable_grad)
             for s in ADAPTIVE_SAMPLING_BUCKETS
         ]
         scales_arr = jnp.array(scales, jnp.float32)
@@ -202,6 +230,26 @@ def multilevel_roi_align(
         for s, pool in zip(ADAPTIVE_SAMPLING_BUCKETS[-2::-1], pools[-2::-1]):
             out = jnp.where(need <= s, pool, out)
         return out
+
+    if separable_grad:
+        return _multilevel_roi_align_sep(
+            list(features), boxes, batch_indices, levels,
+            tuple(float(s) for s in scales), output_size, sampling_ratio,
+            aligned)
+    return _multilevel_impl(features, boxes, batch_indices, levels, scales,
+                            output_size, sampling_ratio, aligned)
+
+
+def _multilevel_impl(
+    features: List[jnp.ndarray],
+    boxes: jnp.ndarray,
+    batch_indices: jnp.ndarray,
+    levels: jnp.ndarray,
+    scales: Sequence[float],
+    output_size: int,
+    sampling_ratio: int,
+    aligned: bool,
+) -> jnp.ndarray:
     L = len(features)
     C = features[0].shape[-1]
     R = boxes.shape[0]
@@ -233,6 +281,93 @@ def multilevel_roi_align(
     idx = y_low * wi + x_low + base_r[:, None]
     vals = _block_gather_combine(flat, idx, w, C)
     return _bin_average(vals, output_size, sampling_ratio)
+
+
+def _axis_pool_matrix(coords, size, output_size, sampling_ratio, roi_mask,
+                      offsets, total):
+    """Dense 1-D pooling operator A: (R, output_size, total) f32 such that
+    pooling along one axis is ``out[r, i] = sum_y A[r, i, y] * feat[y]``.
+
+    Reproduces `_bilinear_taps`' CUDA-parity semantics exactly per axis:
+    in-range window [-1, size], clamp to [0, size-1], high tap at
+    min(low+1, size-1) (the `_blockify` border duplication), and the
+    1/sampling_ratio share of `_bin_average`. ``offsets`` (or None) shifts
+    rows into a (n_blocks*size)-tall output for batch folding; ``roi_mask``
+    zeroes ROIs not assigned to this level."""
+    fsize = float(size)
+    inr = (coords >= -1.0) & (coords <= fsize)
+    c = jnp.clip(coords, 0.0)
+    low = jnp.minimum(jnp.floor(c), fsize - 1.0)
+    c = jnp.minimum(c, fsize - 1.0)
+    lw = c - low
+    hw = 1.0 - lw
+    low_i = low.astype(jnp.int32)
+    high_i = jnp.minimum(low_i + 1, size - 1)
+    if offsets is not None:
+        low_i = low_i + offsets[:, None]
+        high_i = high_i + offsets[:, None]
+    w = (hw[..., None] * jax.nn.one_hot(low_i, total, dtype=jnp.float32)
+         + lw[..., None] * jax.nn.one_hot(high_i, total, dtype=jnp.float32))
+    w = w * (inr & roi_mask[:, None])[..., None]
+    R, n_pts = coords.shape
+    w = w.reshape(R, output_size, sampling_ratio, total)
+    return w.sum(axis=2) / sampling_ratio
+
+
+def _separable_feature_grad(g, boxes, batch_indices, levels, shapes, dtypes,
+                            scales, output_size, sampling_ratio, aligned):
+    """Feature cotangent of `_multilevel_impl` as per-level matmuls.
+
+    The pool is separable — out[r,i,j,c] = sum_y Ay[r,i,y] sum_x Ax[r,j,x]
+    feat[b_r, y, x, c] — so its transpose is
+    dfeat[n,y,x,c] = sum_{r,i} Ay'[r,i,n*H+y] sum_j Ax[r,j,x] g[r,i,j,c]
+    with the batch index folded into Ay's row space. Two dot_generals per
+    level (one small batched (o,o)x(o,W), one big (N*H, R*o)x(R*o, W*C))
+    instead of the R*P-row scatter-add XLA emits for the gather's VJP."""
+    L = len(shapes)
+    o, s = output_size, sampling_ratio
+    lv = jnp.clip(levels, 0, L - 1)
+    scale_r = jnp.take(jnp.array(scales, jnp.float32), lv)
+    ys, xs = _axis_coords(boxes.astype(jnp.float32), scale_r, o, s, aligned)
+    bidx = batch_indices.astype(jnp.int32)
+    grads = []
+    for lvl, (N, H, W, C) in enumerate(shapes):
+        on_l = lv == lvl
+        ay = _axis_pool_matrix(ys, H, o, s, on_l, bidx * H, N * H)
+        ax = _axis_pool_matrix(xs, W, o, s, on_l, None, W)
+        tmp = jnp.einsum("rjx,rijc->rixc", ax.astype(g.dtype), g)
+        d = jnp.einsum("riy,rixc->yxc", ay.astype(g.dtype), tmp)
+        grads.append(d.reshape(N, H, W, C).astype(dtypes[lvl]))
+    return grads
+
+
+def _multilevel_roi_align_sep(features, boxes, batch_indices, levels, scales,
+                              output_size, sampling_ratio, aligned):
+    """`_multilevel_impl` with the separable-matmul feature VJP installed."""
+    shapes = tuple(f.shape for f in features)
+    dtypes = tuple(f.dtype for f in features)
+
+    @jax.custom_vjp
+    def pooled(feats, bxs, bidx, lvl):
+        return _multilevel_impl(feats, bxs, bidx, lvl, scales, output_size,
+                                sampling_ratio, aligned)
+
+    def fwd(feats, bxs, bidx, lvl):
+        out = _multilevel_impl(feats, bxs, bidx, lvl, scales, output_size,
+                               sampling_ratio, aligned)
+        return out, (bxs, bidx, lvl)
+
+    def bwd(res, g):
+        bxs, bidx, lvl = res
+        dfeats = _separable_feature_grad(
+            g, bxs, bidx, lvl, shapes, dtypes, scales, output_size,
+            sampling_ratio, aligned)
+        return (dfeats, jnp.zeros_like(bxs),
+                np.zeros(bidx.shape, jax.dtypes.float0),
+                np.zeros(lvl.shape, jax.dtypes.float0))
+
+    pooled.defvjp(fwd, bwd)
+    return pooled(features, boxes, batch_indices, levels)
 
 
 def assign_boxes_by_ratio(
