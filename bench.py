@@ -190,10 +190,14 @@ def main():
             best_many = min(best_many, time.perf_counter() - t0)
         return max((best_many - best_one) / (iters - 1), 1e-9)
 
-    # reserve ~6 min for the secondary sections (deploy square, host,
-    # pipelined serving, link) — they shrink or drop before this does
+    # reserve ~7 min for the secondary sections (pipelined serving, host,
+    # deploy square, link) — they shrink or drop before this does. Two
+    # backend inits (probe + main) through a slow tunnel can cost 3+ min
+    # before this point, so the reserve is what guarantees the serving
+    # sections (sustained_images_per_sec is part of the artifact
+    # contract) still run.
     budget_s = min(float(os.environ.get("BENCH_BUDGET_S", "240")),
-                   max(60.0, time_left() - 360.0))
+                   max(60.0, time_left() - 420.0))
     dt = chained_latency(xt, budget_s)
     baseline_s = 0.050  # reference V100 inference time (README.md:171-173)
 
@@ -229,31 +233,6 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"[warn] cost analysis failed: {e!r}", file=sys.stderr)
 
-    # --- deploy-square latency: the reference's fixed 1344x1344 export
-    # contract (deploy_utils.py:19-21). A failure here must never lose
-    # the primary metric.
-    dt_sq = None
-    try:
-        if (edge, edge) == (th, tw):
-            raise ValueError("square equals primary canvas: skip")
-        if time_left() < 150:
-            raise TimeoutError("deadline: skipping deploy-square section")
-        dt_sq = chained_latency(
-            x, min(75.0, max(15.0, time_left() - 240.0)),
-            min_reps=6, max_reps=32)
-        result[f"square_{edge}_ms"] = round(dt_sq * 1000.0, 3)
-        result[f"square_{edge}_vs_baseline"] = round(baseline_s / dt_sq, 3)
-        cost = jax.jit(lambda p, im: model.apply(p, im)).lower(
-            params, x).compile().cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0)) if cost else 0.0
-        peak = chip_peak_flops()
-        if flops > 0 and peak > 0:
-            result[f"square_{edge}_mfu"] = round(flops / dt_sq / peak, 3)
-    except Exception as e:  # pragma: no cover
-        print(f"[warn] deploy-square bench failed: {e!r}", file=sys.stderr)
-
     # --- host preprocessing: the fused normalize+pad+s2d native kernel
     hp = float("inf")
     for _ in range(30):
@@ -268,9 +247,12 @@ def main():
     # 21.8 MB f32; on-device normalization, bit-identical outputs) —
     # host->device bandwidth is the binding constraint on this link.
     # A failure here must never lose the primary metric.
+    # (runs BEFORE the deploy-square section: sustained_images_per_sec is
+    # part of the artifact contract, square_1344_ms is informational)
     depth = int(os.environ.get("BENCH_BATCH", "4"))
+    dt_sq = None
     try:
-        if time_left() < 150:
+        if time_left() < 120:
             raise TimeoutError("deadline: skipping serving sections")
         from collections import deque
 
@@ -306,29 +288,33 @@ def main():
         # bound the cost in a degraded tunnel window (the link can drop
         # to tens of MB/s for minutes): fewer images per trial when
         # slow, but keep sampling across a ~90 s budget so one bad
-        # window doesn't own the number
+        # window doesn't own the number. Every sub-step re-checks the
+        # global deadline so a slow window degrades coverage gracefully
+        # instead of truncating the section mid-way.
         n_imgs = 24 if probe < 0.05 else 8
         t_start, sus = time.perf_counter(), float("inf")
+        sus_budget = min(90.0, max(20.0, time_left() - 150.0))
         for _ in range(8):
             sus = min(sus, pipelined(n_imgs, 2))
-            if time.perf_counter() - t_start > 90:
+            if time.perf_counter() - t_start > sus_budget:
                 break
         result["sustained_images_per_sec"] = round(1.0 / sus, 1)
         result["sustained_ms_per_image"] = round(sus * 1000.0, 3)
-        t_start, bat = time.perf_counter(), float("inf")
-        for _ in range(4):
-            bat = min(bat, pipelined(n_imgs, depth))
-            if time.perf_counter() - t_start > 45:
-                break
-        result["batched_images_per_sec"] = round(1.0 / bat, 1)
-        result["batch"] = depth
+        if time_left() >= 120:
+            t_start, bat = time.perf_counter(), float("inf")
+            for _ in range(4):
+                bat = min(bat, pipelined(n_imgs, depth))
+                if time.perf_counter() - t_start > 45:
+                    break
+            result["batched_images_per_sec"] = round(1.0 / bat, 1)
+            result["batch"] = depth
 
         # tight-COMPUTE sustained serving: the same pipelined loop, but
         # the device program runs AT the tight canvas (no pad-back) —
         # the d2-eval-equivalent workload (infer.py --tight-compute).
         # For this 800x1333 input the tight pack already sits on the
         # (800,1344) serving canvas: 1.68x less device compute.
-        if time_left() >= 120:
+        if time_left() >= 100:
             single_tc = jax.jit(
                 lambda p, im, hw: model.apply(p, im, None, hw))
             jax.block_until_ready(single_tc(params, xu, hw))
@@ -361,13 +347,15 @@ def main():
                     jax.block_until_ready(pending.popleft())
                 return (time.perf_counter() - t0) / n_imgs
 
-            device_resident(4, 2)  # warm
-            t_start, dres = time.perf_counter(), float("inf")
-            for _ in range(6):
-                dres = min(dres, device_resident(24, 2))
-                if time.perf_counter() - t_start > 45:
-                    break
-            result["device_resident_images_per_sec"] = round(1.0 / dres, 1)
+            if time_left() >= 60:
+                device_resident(4, 2)  # warm
+                t_start, dres = time.perf_counter(), float("inf")
+                for _ in range(6):
+                    dres = min(dres, device_resident(24, 2))
+                    if time.perf_counter() - t_start > 45:
+                        break
+                result["device_resident_images_per_sec"] = round(
+                    1.0 / dres, 1)
 
         # host->device link characterization: when the sustained number
         # is far below 1000/max(host_ms, device_ms), the gap is the
@@ -388,12 +376,37 @@ def main():
         result["link_mb_per_sec"] = round(mb / t_link, 0)
         # projected sustained rate with a host-attached (PCIe-class)
         # link, where the 5.5 MB transfer is <1 ms: the pipeline is then
-        # bound by max(host transform, device latency)
-        bound = max(hp, dt_sq if dt_sq else dt)
+        # bound by max(host transform, device latency) at the primary
+        # (tight-canvas) workload
+        bound = max(hp, dt)
         result["projected_host_attached_images_per_sec"] = round(
             1.0 / bound, 1)
     except Exception as e:  # pragma: no cover
         print(f"[warn] pipelined bench failed: {e!r}", file=sys.stderr)
+
+    # --- deploy-square latency: the reference's fixed 1344x1344 export
+    # contract (deploy_utils.py:19-21). Informational — runs LAST so a
+    # tight deadline drops it before any contract metric.
+    try:
+        if (edge, edge) == (th, tw):
+            raise ValueError("square equals primary canvas: skip")
+        if time_left() < 100:
+            raise TimeoutError("deadline: skipping deploy-square section")
+        dt_sq = chained_latency(
+            x, min(75.0, max(15.0, time_left() - 60.0)),
+            min_reps=6, max_reps=32)
+        result[f"square_{edge}_ms"] = round(dt_sq * 1000.0, 3)
+        result[f"square_{edge}_vs_baseline"] = round(baseline_s / dt_sq, 3)
+        cost = jax.jit(lambda p, im: model.apply(p, im)).lower(
+            params, x).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) if cost else 0.0
+        peak = chip_peak_flops()
+        if flops > 0 and peak > 0:
+            result[f"square_{edge}_mfu"] = round(flops / dt_sq / peak, 3)
+    except Exception as e:  # pragma: no cover
+        print(f"[warn] deploy-square bench failed: {e!r}", file=sys.stderr)
 
     print(json.dumps(result))
 

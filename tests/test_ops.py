@@ -402,6 +402,77 @@ def test_tiled_nms_small_tile():
     assert sorted(np.nonzero(np.asarray(got))[0].tolist()) == ref
 
 
+def _pallas_keep(boxes, scores, valid, thr, tile=128):
+    """Sort/pad exactly as nms_keep_mask does, run the Pallas greedy core
+    (interpret mode on CPU), scatter back to input order."""
+    from centermask2_tpu.ops.nms_pallas import greedy_keep_sorted
+
+    boxes, scores = jnp.asarray(boxes), jnp.asarray(scores)
+    valid = jnp.asarray(valid)
+    n = boxes.shape[0]
+    order = jnp.argsort(-jnp.where(valid, scores, -jnp.inf))
+    sboxes = jnp.take(boxes, order, axis=0)
+    svalid = jnp.take(valid, order)
+    if n % tile != 0:
+        pad = tile - n % tile
+        sboxes = jnp.concatenate([sboxes, jnp.zeros((pad, 4), sboxes.dtype)])
+        svalid = jnp.concatenate([svalid, jnp.zeros((pad,), bool)])
+    keep_sorted = greedy_keep_sorted(sboxes, svalid, float(thr), tile=tile,
+                                     interpret=True)
+    return np.asarray(jnp.zeros((n,), bool).at[order].set(keep_sorted[:n]))
+
+
+def test_pallas_nms_matches_xla_and_greedy():
+    """The fused Pallas NMS core (interpret mode) must produce the exact
+    keep set of both the XLA tiled fixpoint and the sequential greedy
+    oracle — dense clusters crossing several 128-tiles, with invalids."""
+    rng = np.random.RandomState(42)
+    n = 300
+    centers = rng.rand(n, 2) * 30
+    sizes = 5 + rng.rand(n, 2) * 10
+    boxes = np.concatenate([centers, centers + sizes], axis=1).astype(np.float32)
+    scores = rng.rand(n).astype(np.float32)
+    valid = rng.rand(n) > 0.1
+    ref_keep = np.zeros(n, bool)
+    kept = np_greedy_nms(boxes[valid], scores[valid], 0.5)
+    ref_keep[np.nonzero(valid)[0][kept]] = True
+    got = _pallas_keep(boxes, scores, valid, 0.5)
+    np.testing.assert_array_equal(got, ref_keep)
+    xla = np.asarray(nms_keep_mask(jnp.asarray(boxes), jnp.asarray(scores),
+                                   jnp.asarray(valid), 0.5))
+    np.testing.assert_array_equal(got, xla)
+
+
+def test_pallas_nms_small_tile_and_sparse():
+    rng = np.random.RandomState(7)
+    n = 50
+    boxes = rng.rand(n, 4).astype(np.float32) * 40
+    boxes[:, 2:] = boxes[:, :2] + 4 + boxes[:, 2:] * 0.4
+    scores = rng.rand(n).astype(np.float32)
+    ref = np_greedy_nms(boxes, scores, 0.4)
+    got = _pallas_keep(boxes, scores, np.ones(n, bool), 0.4, tile=16)
+    assert sorted(np.nonzero(got)[0].tolist()) == ref
+
+
+def test_pallas_nms_vmap_batches():
+    """decode_batch vmaps NMS for B>1: the pallas_call must batch
+    correctly (one grid slot per image)."""
+    from centermask2_tpu.ops.nms_pallas import greedy_keep_sorted
+
+    rng = np.random.RandomState(3)
+    B, n = 3, 128
+    boxes = rng.rand(B, n, 4).astype(np.float32) * 40
+    boxes[..., 2:] = boxes[..., :2] + 4 + boxes[..., 2:] * 0.4
+    scores = -np.sort(-rng.rand(B, n).astype(np.float32), axis=1)  # sorted
+    valid = np.ones((B, n), bool)
+    got = jax.vmap(lambda b, v: greedy_keep_sorted(b, v, 0.5, interpret=True)
+                   )(jnp.asarray(boxes), jnp.asarray(valid))
+    for k in range(B):
+        ref = np.zeros(n, bool)
+        ref[np_greedy_nms(boxes[k], scores[k], 0.5)] = True
+        np.testing.assert_array_equal(np.asarray(got[k]), ref)
+
+
 def test_pallas_roi_align_matches_xla(monkeypatch):
     """Pallas kernel (interpret mode on CPU) vs the XLA reference impl."""
     from centermask2_tpu.ops.roi_align_pallas import multilevel_roi_align_pallas
