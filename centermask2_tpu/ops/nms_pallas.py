@@ -135,6 +135,12 @@ def greedy_keep_sorted(
     of the fori_loop core in ops/nms.py::nms_keep_mask."""
     n = sboxes.shape[0]
     assert n % tile == 0, (n, tile)
+    # NMS is non-differentiable (bool keep mask; the XLA path's grads
+    # through its comparisons are identically zero). pallas_call has no
+    # autodiff rule, so sever the tangents here — otherwise the train
+    # step fails to linearize when proposals feed the ROI heads.
+    sboxes = jax.lax.stop_gradient(sboxes)
+    svalid = jax.lax.stop_gradient(svalid)
     sboxes = sboxes.astype(jnp.float32)
     x1, y1, x2, y2 = (sboxes[:, k] for k in range(4))
     rows = jnp.zeros((8, n), jnp.float32)

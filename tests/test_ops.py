@@ -473,6 +473,32 @@ def test_pallas_nms_vmap_batches():
         np.testing.assert_array_equal(np.asarray(got[k]), ref)
 
 
+def test_pallas_nms_is_differentiable_through():
+    """The train step differentiates THROUGH proposal selection: the keep
+    mask gates box/score tensors that carry gradients. pallas_call has no
+    autodiff rule, so greedy_keep_sorted severs tangents on its inputs
+    (stop_gradient) — grads must flow through the gated values exactly as
+    in the XLA path (where NMS's comparison grads are identically zero)."""
+    from centermask2_tpu.ops.nms_pallas import greedy_keep_sorted
+
+    rng = np.random.RandomState(11)
+    n = 128
+    boxes = rng.rand(n, 4).astype(np.float32) * 40
+    boxes[:, 2:] = boxes[:, :2] + 4 + boxes[:, 2:] * 0.4
+
+    def loss(b):
+        keep = greedy_keep_sorted(b, jnp.ones((n,), bool), 0.5,
+                                  interpret=True)
+        return jnp.sum(jnp.where(keep[:, None], b, 0.0))
+
+    g = jax.grad(loss)(jnp.asarray(boxes))
+    keep = np.asarray(greedy_keep_sorted(
+        jnp.asarray(boxes), jnp.ones((n,), bool), 0.5, interpret=True))
+    expected = np.broadcast_to(
+        np.where(keep[:, None], 1.0, 0.0), (n, 4)).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(g), expected)
+
+
 def test_pallas_roi_align_matches_xla(monkeypatch):
     """Pallas kernel (interpret mode on CPU) vs the XLA reference impl."""
     from centermask2_tpu.ops.roi_align_pallas import multilevel_roi_align_pallas
