@@ -99,6 +99,16 @@ def summarize(trace_dir: str, runs: int, top: int, hlo_text: str = ""):
     for name, d in sorted(rollup.items(), key=lambda kv: -kv[1]):
         print(f"{d / runs / 1000:9.3f}  {d / total * 100:5.1f}%  {name}")
 
+    # the "(unattributed)" bucket hides whatever has no module path
+    # (optimizer update, infeed/outfeed copies, scheduler-inserted
+    # fusions) — name its top ops so it can't silently grow
+    unattr = sorted(((n, d) for n, d in by.items()
+                     if not meta.get(n, "")), key=lambda kv: -kv[1])
+    if unattr:
+        print("\ntop unattributed ops:")
+        for n, d in unattr[:12]:
+            print(f"{d / runs / 1000:9.3f}  {n[:70]}")
+
 
 def main():
     p = argparse.ArgumentParser()
