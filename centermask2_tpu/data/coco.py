@@ -297,8 +297,9 @@ def _train_batches_inner(ds, batch_size, *, min_sizes, max_size, pad_to,
                     im["height"], im["width"], job["short_edge"], max_size)
                 mh, mw = max(mh, nh), max(mw, nw)
             # quantize with short = the LARGEST multi-scale draw so the
-            # canvas set is stable across draws (<= 4 shapes)
-            batch_pad = s2d_serving_canvas(mh, mw, pad_to[0], hi)
+            # canvas set is stable across draws (<= 4 shapes); the cap
+            # is per-axis so a non-square pad_to keeps its full width
+            batch_pad = s2d_serving_canvas(mh, mw, pad_to, hi)
 
         def load(job):
             return load_train_example(

@@ -269,7 +269,7 @@ def s2d_pack_u8_tight(image_hwc: np.ndarray,
 
 
 def s2d_serving_canvas(h: int, w: int,
-                       fixed_size: int = FIXED_EDGE_SIZE,
+                       fixed_size=FIXED_EDGE_SIZE,
                        short: int = MIN_EDGE_SIZE) -> Tuple[int, int]:
     """Quantized tight canvas for a resized (h, w) image: each dim is
     either align32(short) (the dim a ResizeShortestEdge(short) output
@@ -280,9 +280,16 @@ def s2d_serving_canvas(h: int, w: int,
     detectron2 size_divisibility — so the canvas is also valid for
     tight-COMPUTE serving (a non-/32 canvas breaks the FPN top-down 2x
     upsample against the ceil-divided lateral shapes; for the standard
-    short=800 the alignment changes nothing)."""
-    s = min(-(-short // 32) * 32, fixed_size)
-    return (s if h <= s else fixed_size, s if w <= s else fixed_size)
+    short=800 the alignment changes nothing).
+
+    ``fixed_size`` may be an int (square deployment canvas) or an
+    (H, W) pair — the cap each dim escalates to is per-axis, so a
+    non-square deployment canvas (e.g. (800, 1344)) keeps its full
+    width for landscape images instead of mis-capping at the height."""
+    fh, fw = ((fixed_size, fixed_size) if isinstance(fixed_size, int)
+              else (int(fixed_size[0]), int(fixed_size[1])))
+    s = min(-(-short // 32) * 32, fh, fw)
+    return (s if h <= s else fh, s if w <= s else fw)
 
 
 def input_transform_for(model):

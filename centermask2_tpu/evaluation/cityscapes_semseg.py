@@ -163,8 +163,12 @@ def score_semseg(
 ) -> Dict[str, float]:
     """pairs: (pred_label_ids, gt_label_ids) uint8 images;
     instance_pairs: optional (pred_label_ids, gt_instance_ids) for iIoU.
-    Returns the reference's metric block {IoU, iIoU, IoU_sup, iIoU_sup}
-    (percentages; cityscapes_evaluation.py:192-197) plus per-class IoUs.
+    Returns the reference's metric block as {IoU, iIoU_datanorm,
+    IoU_sup, iIoU_sup_datanorm} (percentages;
+    cityscapes_evaluation.py:192-197) plus per-class IoUs. The iIoU
+    keys carry the _datanorm suffix because instance weighting uses
+    average sizes computed from the evaluated GT, not the official
+    train-split constants (see module docstring).
     """
     conf = np.zeros((_N, _N), np.int64)
     for pred, gt in pairs:

@@ -204,6 +204,12 @@ def multilevel_roi_align(
     only produces grad_input, and proposals are detached before ROI
     training (reference center_heads.py:178; models/meta.py:482).
 
+    Both code paths share that grad_input-only contract: boxes (and the
+    level/batch indices) are stop_gradient'ed here, so switching
+    ``separable_grad`` can never change gradient semantics — without
+    this, plain autodiff through the gather path would produce nonzero
+    bilinear-weight box cotangents the custom-VJP path zeroes.
+
     ``sampling_ratio=0`` selects detectron2's adaptive semantics
     (grid = ceil(roi_size/output_size) samples per bin, the shipped
     configs' default via reference pooler.py:242-255), statically
@@ -213,6 +219,7 @@ def multilevel_roi_align(
     (detectron2 counts h and w separately); clamped to 4 above. ~3x the
     gather cost of a fixed ratio; intended for AP-parity evaluation runs.
     """
+    boxes = jax.lax.stop_gradient(boxes)
     if sampling_ratio == 0:
         pools = [
             multilevel_roi_align(features, boxes, batch_indices, levels,

@@ -229,6 +229,13 @@ def test_s2d_serving_canvas_quantization():
     # top-down breaks on non-/32 canvases)
     ch, cw = s2d_serving_canvas(30, 61, 64, 30)
     assert ch % 32 == 0 and cw % 32 == 0 and ch >= 30 and cw >= 61
+    # non-square deployment canvas: the escalation cap is PER-AXIS —
+    # a (800, 1344) pad_to must keep its full 1344 width for a
+    # landscape 800x1333 resize (regression: the tight-pad train path
+    # used to cap both axes at pad_to[0] and reject the image)
+    assert s2d_serving_canvas(800, 1333, (800, 1344), 800) == (800, 1344)
+    assert s2d_serving_canvas(640, 800, (800, 1344), 800) == (800, 800)
+    assert s2d_serving_canvas(800, 1333, (1344, 1344), 800) == (800, 1344)
 
 
 def test_stem_space_to_depth_natural_order():

@@ -68,33 +68,14 @@ def summarize(trace_dir: str, runs: int, top: int, hlo_text: str = ""):
 
     # pipeline-section rollup (module-path prefix buckets): the "which
     # stage regressed" view bench_stages gives, but from ONE trace with
-    # per-op attribution instead of chained-window differencing
-    sections = (
-        ("host/normalize+s2d", ("_normalize_u8_s2d", "_pad_to_canvas")),
-        ("backbone", ("features/backbone",)),
-        ("fpn", ("features/fpn",)),
-        ("fcos_head", ("_fcos_raw", "fcos_head")),
-        ("decode+nms", ("_decode",)),
-        ("roi+mask+maskiou", ("roi_heads", "mask_head", "maskiou",
-                              "mask_rcnn_inference", "roi_align",
-                              "CenterROIHeads")),
-        ("keypoint", ("keypoint",)),
-        ("losses/assign", ("CenterMask.loss", "fcos_losses", "_assign",
-                           "crop_and_resize")),
-        ("optimizer", ("optimizer", "apply_updates", "sgd")),
-    )
+    # per-op attribution instead of chained-window differencing. The
+    # bucket table lives in centermask2_tpu/utils/trace_sections.py and
+    # is shared with tools/roofline_bound.py so both tools classify a
+    # trace identically.
+    from centermask2_tpu.utils.trace_sections import section_of
     rollup = defaultdict(float)
     for n, d in by.items():
-        src = meta.get(n, "")
-        label = "(unattributed)"
-        for name, keys in sections:
-            if any(k in src for k in keys):
-                # backward ops carry the same module path under the
-                # transpose() wrapper — split them out so fwd-vs-bwd
-                # efficiency is visible per section
-                label = name + (" [bwd]" if "transpose" in src else "")
-                break
-        rollup[label] += d
+        rollup[section_of(meta.get(n, ""))] += d
     print("\nsection rollup:")
     for name, d in sorted(rollup.items(), key=lambda kv: -kv[1]):
         print(f"{d / runs / 1000:9.3f}  {d / total * 100:5.1f}%  {name}")

@@ -27,29 +27,12 @@ import gzip
 import json
 from collections import defaultdict
 
-SECTIONS = (
-    ("normalize+s2d+pad", ("_normalize_u8_s2d", "_pad_to_canvas")),
-    ("backbone", ("features/backbone",)),
-    ("fpn", ("features/fpn",)),
-    ("fcos_head", ("_fcos_raw",)),
-    ("decode+nms", ("_decode",)),
-    ("roi+mask+maskiou", ("roi_heads", "mask_head", "maskiou",
-                          "mask_rcnn_inference", "roi_align",
-                          "CenterROIHeads", "MaskIoU")),
-    ("keypoint", ("keypoint",)),
-    ("losses/assign", ("CenterMask.loss", "fcos_losses", "_assign",
-                       "crop_and_resize")),
-    ("optimizer", ("optimizer", "apply_updates", "sgd")),
-)
+import os
+import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-def section_of(tf_op: str) -> str:
-    for name, keys in SECTIONS:
-        if any(k in tf_op for k in keys):
-            # train traces: backward ops carry the same module path under
-            # the transpose() wrapper — split fwd vs bwd per section
-            return name + (" [bwd]" if "transpose" in tf_op else "")
-    return "(other)"
+from centermask2_tpu.utils.trace_sections import section_of  # noqa: E402
 
 
 def load_ops(trace_dir: str):
