@@ -450,3 +450,29 @@ def test_bench_cpu_smoke(tmp_path):
     assert rec["canvas"] == [256, 256]
     # host preprocessing always reports (native s2d kernel)
     assert rec["host_preprocess_ms"] > 0
+
+
+@pytest.mark.slow
+def test_bench_cpu_serving_sections(tmp_path):
+    """The pipelined-serving block (sustained_images_per_sec is part of
+    the driver artifact contract) self-skips under the tight smoke
+    deadline above — run bench.py once with enough deadline for it to
+    execute on CPU so a regression inside the block (scoping, the u8
+    tight pack, the link probe) is caught before the TPU run."""
+    env = dict(os.environ)
+    env.update(CM2_PLATFORM="cpu", JAX_PLATFORMS="cpu",
+               BENCH_BODY="V-19-slim-eSE", BENCH_EDGE="256",
+               BENCH_ITERS="2", BENCH_BUDGET_S="1",
+               BENCH_DEADLINE_S="600", BENCH_BATCH="2")
+    r = subprocess.run([sys.executable, "bench.py"], cwd=REPO, env=env,
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-3000:]
+    lines = [ln for ln in r.stdout.strip().splitlines()
+             if ln.startswith("{")]
+    assert len(lines) == 1, r.stdout[-2000:]
+    rec = json.loads(lines[0])
+    assert rec.get("error") is None
+    assert rec["sustained_images_per_sec"] > 0
+    assert rec["host_pack_u8_ms"] > 0
+    assert rec["transfer_mb_per_image"] > 0
+    assert rec["projected_host_attached_images_per_sec"] > 0
