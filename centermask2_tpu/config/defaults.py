@@ -181,7 +181,13 @@ _C.SOLVER.WARMUP_METHOD = "linear"
 _C.SOLVER.CHECKPOINT_PERIOD = 5000
 _C.SOLVER.CLIP_GRADIENTS = CN()
 _C.SOLVER.CLIP_GRADIENTS.ENABLED = False
+# "value" = elementwise clip to +-CLIP_VALUE; "norm" = scale the whole
+# gradient pytree so its global L2 norm is <= CLIP_VALUE (detectron2's
+# SOLVER.CLIP_GRADIENTS schema; its NORM_TYPE other than 2.0 is not
+# supported here)
+_C.SOLVER.CLIP_GRADIENTS.CLIP_TYPE = "value"
 _C.SOLVER.CLIP_GRADIENTS.CLIP_VALUE = 1.0
+_C.SOLVER.CLIP_GRADIENTS.NORM_TYPE = 2.0
 
 # ---------------------------------------------------------------------------
 # INPUT

@@ -120,6 +120,7 @@ def make_optimizer(
     warmup_iters: int = 1000,
     warmup_method: str = "linear",
     clip_value: float = 0.0,
+    clip_type: str = "value",
     freeze_at: int = 0,
     params_example: Any = None,
 ) -> optax.GradientTransformation:
@@ -141,7 +142,15 @@ def make_optimizer(
 
     chain = []
     if clip_value and clip_value > 0:
-        chain.append(optax.clip(clip_value))
+        # d2 SOLVER.CLIP_GRADIENTS.CLIP_TYPE: "value" clips each gradient
+        # element to +-clip_value; "norm" rescales the whole pytree to a
+        # global L2 norm of clip_value (torch clip_grad_norm_ semantics)
+        if clip_type == "norm":
+            chain.append(optax.clip_by_global_norm(clip_value))
+        elif clip_type == "value":
+            chain.append(optax.clip(clip_value))
+        else:
+            raise ValueError(f"unsupported clip_type: {clip_type!r}")
     if weight_decay:
         chain.append(optax.masked(
             optax.add_decayed_weights(weight_decay), decay_mask))

@@ -42,6 +42,36 @@ def test_optimizer_freezes_frozen_params_and_updates_rest():
                                -0.1, rtol=1e-6)
 
 
+def test_gradient_clipping_modes():
+    """SOLVER.CLIP_GRADIENTS.CLIP_TYPE: "value" clips elementwise,
+    "norm" rescales the whole pytree to a global L2 norm (d2's
+    torch clip_grad_norm_ semantics)."""
+    import optax
+    params = {"conv": {"kernel": jnp.zeros((2, 2))}}
+    grads = {"conv": {"kernel": jnp.array([[3.0, -4.0], [0.0, 0.0]])}}
+
+    opt_v = make_optimizer(1.0, (100,), warmup_iters=0, warmup_factor=1.0,
+                           weight_decay=0.0, momentum=0.0,
+                           clip_value=1.0, clip_type="value",
+                           params_example=params)
+    upd, _ = opt_v.update(grads, opt_v.init(params), params)
+    np.testing.assert_allclose(np.asarray(upd["conv"]["kernel"]),
+                               [[-1.0, 1.0], [0.0, 0.0]], atol=1e-7)
+
+    opt_n = make_optimizer(1.0, (100,), warmup_iters=0, warmup_factor=1.0,
+                           weight_decay=0.0, momentum=0.0,
+                           clip_value=1.0, clip_type="norm",
+                           params_example=params)
+    upd, _ = opt_n.update(grads, opt_n.init(params), params)
+    # global norm 5 -> scaled by 1/5
+    np.testing.assert_allclose(np.asarray(upd["conv"]["kernel"]),
+                               [[-0.6, 0.8], [0.0, 0.0]], atol=1e-6)
+
+    with pytest.raises(ValueError):
+        make_optimizer(1.0, (100,), clip_value=1.0, clip_type="bogus",
+                       params_example=params)
+
+
 def test_weight_decay_norm_applies_to_norm_modules():
     """SOLVER.WEIGHT_DECAY_NORM decays norm params (bias included) at its
     own rate while conv kernels keep the base rate."""

@@ -76,6 +76,10 @@ def main():
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0),
         jnp.asarray(to_input(np.zeros((1, fixed, fixed, 3), np.float32))))
+    if (cfg.SOLVER.CLIP_GRADIENTS.ENABLED
+            and cfg.SOLVER.CLIP_GRADIENTS.CLIP_TYPE == "norm"
+            and float(cfg.SOLVER.CLIP_GRADIENTS.NORM_TYPE) != 2.0):
+        raise ValueError("only NORM_TYPE 2.0 (global L2) is supported")
     optimizer = make_optimizer(
         cfg.SOLVER.BASE_LR, tuple(cfg.SOLVER.STEPS),
         momentum=cfg.SOLVER.MOMENTUM, weight_decay=cfg.SOLVER.WEIGHT_DECAY,
@@ -86,6 +90,7 @@ def main():
         warmup_method=cfg.SOLVER.WARMUP_METHOD,
         clip_value=(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE
                     if cfg.SOLVER.CLIP_GRADIENTS.ENABLED else 0.0),
+        clip_type=cfg.SOLVER.CLIP_GRADIENTS.CLIP_TYPE,
         freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT)
     state = create_train_state(params, optimizer)
 
