@@ -103,5 +103,11 @@ class FCOSHead(nn.Module):
             reg = bbox_pred(box_f)
             if self.use_scale:
                 reg = Scale(name=f"scale{lvl}")(reg)
+            # relu (not exp), as the reference (fcos.py:237-238). From-
+            # scratch caveat shared with it: reg gradients exist only at
+            # positive locations, so a channel whose pre-activation is
+            # <0 at every positive stays relu-dead; with a pretrained
+            # backbone (the supported flow) features vary enough that
+            # this never happens (see test_overfit_single_image_*).
             bbox_reg.append(jax.nn.relu(reg))
         return logits, bbox_reg, ctr

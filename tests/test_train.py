@@ -565,3 +565,116 @@ def test_orbax_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
                                   np.asarray(state["params"]["w"]))
     assert int(restored["step"]) == 7
+
+
+@pytest.mark.slow
+def test_overfit_single_image_detects_object():
+    """Whole-loop correctness sanity: training on ONE synthetic image
+    must let the model re-detect its own training object — GT assignment,
+    losses, backward, optimizer, decode, NMS, and the mask head all have
+    to be simultaneously right for this to converge (a sign error or a
+    coordinate-frame mixup anywhere keeps the IoU near zero no matter
+    how long it trains). The d2 world checks this the same way (fit a
+    handful of images, eyeball detections); here it is an assertion.
+
+    Two from-scratch gotchas this run must dodge (both shared with the
+    torch reference, which only ever fine-tunes a pretrained backbone):
+    (1) raw-pixel-scale inputs (~|150|) through an uncalibrated backbone
+    give the unbounded maskiou regression head an L2 loss of ~40 and a
+    global grad norm of ~2e4 at init — one SGD step diverges; feed
+    normalized-scale inputs and clip by global norm. (2) bbox_pred's 4
+    output channels init ~N(0, tiny) and near-constant over the object
+    interior, so each channel is a coin flip to be relu-dead at every
+    positive location (fcos head relu, reference fcos.py:238; reg
+    gradients exist only at positives) — a dead channel pins that box
+    edge to the location coordinate forever (measured: IoU plateaus at
+    0.45 with x1 == loc_x for 175+ iters). A small positive bias on
+    bbox_pred revives all channels."""
+    import flax
+
+    from centermask2_tpu.models import CenterMask, GroundTruth
+    from centermask2_tpu.parallel import make_mesh, shard_batch
+    from centermask2_tpu.train import (create_train_state, make_optimizer,
+                                       make_train_step)
+
+    model = CenterMask(
+        conv_body="V-19-slim-eSE", mask_on=True, maskiou_on=True,
+        num_classes=4,
+        pre_nms_topk_test=50, post_nms_topk_test=10, nms_candidates=50,
+        pre_nms_topk_train=50, post_nms_topk_train=20,
+        batch_size_per_image=32, max_fg_proposals=8,
+        dtype=jnp.float32)
+
+    # one 128x128 image, normalized scale: textured bright rectangle on
+    # dark noise; the instance mask is the full gt box
+    rng = np.random.RandomState(0)
+    img = rng.randn(128, 128, 3).astype(np.float32) * 0.3 - 1.0
+    gt_box = np.array([24.0, 40.0, 96.0, 104.0], np.float32)
+    yy, xx = np.mgrid[0:64, 0:72].astype(np.float32)
+    tex = np.stack([1.0 + xx / 36.0, 1.0 + yy / 32.0,
+                    2.0 + np.sin(xx / 6.0) * 0.5], axis=-1)
+    img[40:104, 24:96] = tex + rng.randn(64, 72, 3).astype(np.float32) * 0.1
+    images = jnp.asarray(img[None])
+    gt = GroundTruth(
+        boxes=jnp.asarray(gt_box[None, None]),
+        classes=jnp.asarray([[1]], jnp.int32),
+        valid=jnp.ones((1, 1), bool),
+        mask_patches=jnp.ones((1, 1, 28, 28), jnp.float32))
+
+    variables = flax.core.unfreeze(model.init(jax.random.PRNGKey(0), images))
+
+    def revive_bbox_pred(tree):
+        for k, v in tree.items():
+            if k == "bbox_pred":
+                v["bias"] = v["bias"] + 1.0
+            elif isinstance(v, dict):
+                revive_bbox_pred(v)
+
+    revive_bbox_pred(variables["params"])
+
+    opt = make_optimizer(0.01, (100000,), warmup_iters=50,
+                         clip_value=1.0, clip_type="norm",
+                         params_example=None)
+    state = create_train_state(variables, opt)
+    mesh = make_mesh(jax.devices()[:1])
+    state = jax.device_put(state, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec()))
+    images_s, gt_s = shard_batch((images, gt), mesh)
+    step = make_train_step(model, opt, mesh=mesh)
+
+    infer = jax.jit(lambda p, im: model.apply(p, im))
+
+    def best_detection(params):
+        out = infer(params, images)
+        scores = np.asarray(out.scores[0]) * np.asarray(out.valid[0])
+        k = int(scores.argmax())
+        box = np.asarray(out.pred_boxes[0, k])
+        ix0, iy0 = max(box[0], gt_box[0]), max(box[1], gt_box[1])
+        ix1, iy1 = min(box[2], gt_box[2]), min(box[3], gt_box[3])
+        inter = max(ix1 - ix0, 0.0) * max(iy1 - iy0, 0.0)
+        a = (box[2] - box[0]) * (box[3] - box[1])
+        b = (gt_box[2] - gt_box[0]) * (gt_box[3] - gt_box[1])
+        iou = inter / max(a + b - inter, 1e-6)
+        mask = np.asarray(out.pred_masks[0, k, 0])
+        return float(scores[k]), float(iou), float((mask > 0.5).mean())
+
+    first_loss = None
+    score = iou = mask_frac = 0.0
+    ok = False
+    key = jax.random.PRNGKey(1)
+    for it in range(300):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, images_s, gt_s, sub)
+        if first_loss is None:
+            first_loss = float(metrics["total_loss"])
+        if it >= 49 and (it + 1) % 25 == 0:
+            score, iou, mask_frac = best_detection(state.params)
+            if score > 0.25 and iou > 0.5 and mask_frac > 0.5:
+                ok = True
+                break
+    last_loss = float(metrics["total_loss"])
+    assert np.isfinite(last_loss)
+    assert last_loss < 0.6 * first_loss, (first_loss, last_loss)
+    assert ok, ("no confident re-detection after training: "
+                f"score={score}, iou={iou}, mask_frac={mask_frac}, "
+                f"loss {first_loss} -> {last_loss}")
