@@ -135,11 +135,12 @@ class CityscapesSemSegEvaluator:
         """Score the written label pngs with the built-in pixel-level
         scorer (evaluation/cityscapes_semseg.py — class mIoU and
         category IoU_sup per the official algorithm, plus
-        iIoU_datanorm variants when instanceIds files exist; the iIoU
-        normalizer is data-derived, NOT the official train-split
-        constants — see that module's docstring). Returns the
-        reference's metric block (cityscapes_evaluation.py:192-197)
-        with no cityscapesscripts dependency."""
+        official-protocol iIoU/iIoU_sup via the embedded train-split
+        avgClassSize/avgCategorySize constants when instanceIds files
+        exist, and data-normalized *_datanorm variants — see that
+        module's docstring). Returns the reference's metric block
+        (cityscapes_evaluation.py:192-197) with no cityscapesscripts
+        dependency."""
         if gt_dir is None:
             return {
                 "note": "no gt_dir given; predictions written to "

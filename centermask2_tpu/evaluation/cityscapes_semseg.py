@@ -17,13 +17,13 @@ Official scoring rules implemented here:
 - category IoU sums the member-class block of the confusion matrix;
   cross-class confusion INSIDE a category counts as tp,
 - iIoU weights each gt instance's tp/fn by avgSize/instanceSize so
-  small instances count as much as large ones. NOTE: the official
-  script uses fixed average instance sizes precomputed on the train
-  split; offline we compute them from the evaluated ground truth —
-  metric definition identical, normalization constants derived from
-  the data at hand. To keep that distinction visible these metrics are
-  reported as ``iIoU_datanorm`` / ``iIoU_sup_datanorm``, NOT ``iIoU``:
-  they will not numerically reproduce official-protocol iIoU.
+  small instances count as much as large ones. The official protocol's
+  fixed average instance sizes (precomputed on the train split) are
+  embedded below (AVG_CLASS_SIZE / AVG_CATEGORY_SIZE), so ``iIoU`` /
+  ``iIoU_sup`` here are true-protocol numbers. ``iIoU_datanorm`` /
+  ``iIoU_sup_datanorm`` variants are additionally reported with the
+  normalizers computed from the evaluated ground truth, for use on
+  non-Cityscapes data where the train-split constants don't apply.
 """
 
 from __future__ import annotations
@@ -76,6 +76,30 @@ EVAL_IDS = [i for i, (_, _, ig) in LABELS.items() if not ig]
 INSTANCE_EVAL_IDS = [24, 25, 26, 27, 28, 31, 32, 33]
 _N = 256  # confusion side (labels are uint8; 255 = ignore)
 
+# Official cityscapesscripts normalizers for protocol iIoU: average
+# instance size per class / per category, precomputed on the train split
+# (cityscapesscripts evalPixelLevelSemanticLabeling.py, args.avgClassSize
+# / args.avgCategorySize — the engine behind the reference's
+# CityscapesSemSegEvaluator, reference cityscapes_evaluation.py:133-198).
+# Embedding them lets score_semseg report true-protocol iIoU alongside
+# the _datanorm variants.
+AVG_CLASS_SIZE: Dict[str, float] = {
+    "bicycle": 4672.3249222261,
+    "caravan": 36771.8241758242,
+    "motorcycle": 6298.7200839748,
+    "rider": 3930.4788056518,
+    "bus": 35732.1511111111,
+    "train": 67583.7075812274,
+    "car": 12794.0202738185,
+    "person": 3462.4756337644,
+    "truck": 27855.1264367816,
+    "trailer": 16926.9763313609,
+}
+AVG_CATEGORY_SIZE: Dict[str, float] = {
+    "vehicle": 9691.1128802817,
+    "human": 3508.7580814139,
+}
+
 
 def add_to_confusion(pred: np.ndarray, gt: np.ndarray,
                      conf: np.ndarray) -> None:
@@ -126,31 +150,37 @@ class InstanceStats:
             self.by_class[label].append(
                 (int(m.sum()), int((pred[m] == label).sum())))
 
-    def _weighted(self, classes: Sequence[int]) -> Tuple[float, float]:
-        sizes = [s for c in classes for (s, _) in self.by_class[c]]
-        if not sizes:
-            return 0.0, 0.0
-        avg = float(np.mean(sizes))
+    def _weighted(self, classes: Sequence[int],
+                  avg_size: Optional[float] = None) -> Tuple[float, float]:
+        """avg_size=None: data-normalized (mean size of the evaluated GT
+        instances); avg_size=<float>: official protocol constant."""
+        if avg_size is None:
+            sizes = [s for c in classes for (s, _) in self.by_class[c]]
+            if not sizes:
+                return 0.0, 0.0
+            avg_size = float(np.mean(sizes))
         tp_w = fn_w = 0.0
         for c in classes:
             for size, matched in self.by_class[c]:
-                w = avg / size
+                w = avg_size / size
                 tp_w += matched * w
                 fn_w += (size - matched) * w
         return tp_w, fn_w
 
-    def class_iiou(self, conf: np.ndarray, label: int) -> float:
-        tp_w, fn_w = self._weighted([label])
+    def class_iiou(self, conf: np.ndarray, label: int,
+                   avg_size: Optional[float] = None) -> float:
+        tp_w, fn_w = self._weighted([label], avg_size)
         others = [l for l in EVAL_IDS if l != label]
         fp = float(conf[others, label].sum())
         denom = tp_w + fp + fn_w
         return tp_w / denom if denom > 0 else float("nan")
 
-    def category_iiou(self, conf: np.ndarray, category: str) -> float:
+    def category_iiou(self, conf: np.ndarray, category: str,
+                      avg_size: Optional[float] = None) -> float:
         members = [c for c in INSTANCE_EVAL_IDS if LABELS[c][1] == category]
         if not members:
             return float("nan")
-        tp_w, fn_w = self._weighted(members)
+        tp_w, fn_w = self._weighted(members, avg_size)
         outside = [l for l in EVAL_IDS if LABELS[l][1] != category]
         fp = float(conf[np.ix_(outside, members)].sum())
         denom = tp_w + fp + fn_w
@@ -163,12 +193,11 @@ def score_semseg(
 ) -> Dict[str, float]:
     """pairs: (pred_label_ids, gt_label_ids) uint8 images;
     instance_pairs: optional (pred_label_ids, gt_instance_ids) for iIoU.
-    Returns the reference's metric block as {IoU, iIoU_datanorm,
-    IoU_sup, iIoU_sup_datanorm} (percentages;
-    cityscapes_evaluation.py:192-197) plus per-class IoUs. The iIoU
-    keys carry the _datanorm suffix because instance weighting uses
-    average sizes computed from the evaluated GT, not the official
-    train-split constants (see module docstring).
+    Returns the reference's metric block as {IoU, iIoU, IoU_sup,
+    iIoU_sup} (percentages; cityscapes_evaluation.py:192-197) plus
+    per-class IoUs and the ``*_datanorm`` iIoU variants (instance
+    weighting from the evaluated GT instead of the official train-split
+    constants — see module docstring).
     """
     conf = np.zeros((_N, _N), np.int64)
     for pred, gt in pairs:
@@ -192,17 +221,30 @@ def score_semseg(
         stats = InstanceStats()
         for pred, inst in instance_pairs:
             stats.add_image(pred, inst)
+        icats = sorted({LABELS[c][1] for c in INSTANCE_EVAL_IDS})
+        # Official-protocol iIoU / iIoU_sup: instance weights use the
+        # cityscapesscripts train-split constants (AVG_CLASS_SIZE /
+        # AVG_CATEGORY_SIZE above) — numerically reproduces the
+        # reference's CityscapesSemSegEvaluator output.
+        pvals = [stats.class_iiou(conf, c, AVG_CLASS_SIZE[LABELS[c][0]])
+                 for c in INSTANCE_EVAL_IDS]
+        pvals = [v for v in pvals if not np.isnan(v)]
+        pcat_vals = [stats.category_iiou(conf, c, AVG_CATEGORY_SIZE[c])
+                     for c in icats if c in AVG_CATEGORY_SIZE]
+        pcat_vals = [v for v in pcat_vals if not np.isnan(v)]
+        out["iIoU"] = (100.0 * float(np.mean(pvals))
+                       if pvals else float("nan"))
+        out["iIoU_sup"] = (100.0 * float(np.mean(pcat_vals))
+                           if pcat_vals else float("nan"))
+        # _datanorm variants: instance weights use the average instance
+        # size computed from the EVALUATED ground truth instead — useful
+        # on non-Cityscapes data where the train-split constants don't
+        # apply; kept under a distinct suffix so they are never mistaken
+        # for official-protocol numbers.
         ivals = [stats.class_iiou(conf, c) for c in INSTANCE_EVAL_IDS]
         ivals = [v for v in ivals if not np.isnan(v)]
-        icats = sorted({LABELS[c][1] for c in INSTANCE_EVAL_IDS})
         icat_vals = [stats.category_iiou(conf, c) for c in icats]
         icat_vals = [v for v in icat_vals if not np.isnan(v)]
-        # _datanorm suffix: instance weights use the average instance
-        # size computed from the EVALUATED ground truth, not the official
-        # cityscapesscripts avgClassSize/avgCategorySize constants
-        # (precomputed on the train split) — same algorithm, different
-        # normalizer, so these are deliberately NOT named iIoU to avoid
-        # being mistaken for official-protocol numbers.
         out["iIoU_datanorm"] = (100.0 * float(np.mean(ivals))
                                 if ivals else float("nan"))
         out["iIoU_sup_datanorm"] = 100.0 * float(np.mean(icat_vals)) \

@@ -18,6 +18,7 @@ y < -1 or y > H contribute zero; in-range coordinates clamp to
 
 from __future__ import annotations
 
+import sys
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -386,9 +387,9 @@ def assign_boxes_by_ratio(
     """CenterMask adaptive ROI level assignment, Eqn (2)
     (reference pooler.py:111-118): ceil(max - log2(img_area/box_area + eps)),
     clamped. Returns 0-based level offsets."""
-    eps = jnp.finfo(jnp.float32).eps  # sys.float_info.epsilon analog
+    eps = sys.float_info.epsilon  # the reference uses the double eps
     ratio = img_areas / jnp.maximum(box_areas, 1e-12)
-    lv = jnp.ceil(max_level - jnp.log2(ratio + 2.220446049250313e-16))
+    lv = jnp.ceil(max_level - jnp.log2(ratio + eps))
     lv = jnp.clip(lv, min_level, max_level)
     return lv.astype(jnp.int32) - min_level
 
@@ -402,8 +403,9 @@ def assign_boxes_by_area(
 ) -> jnp.ndarray:
     """FPN paper Eqn (1) assignment (reference pooler.py:121-152)."""
     sizes = jnp.sqrt(jnp.maximum(box_areas, 0.0))
+    eps = sys.float_info.epsilon
     lv = jnp.floor(
-        canonical_level + jnp.log2(sizes / canonical_box_size + 2.220446049250313e-16)
+        canonical_level + jnp.log2(sizes / canonical_box_size + eps)
     )
     lv = jnp.clip(lv, min_level, max_level)
     return lv.astype(jnp.int32) - min_level

@@ -654,6 +654,43 @@ def test_semseg_iiou_weights_instances_equally():
     assert res["iIoU_sup_datanorm"] == pytest.approx(50.0)
 
 
+def test_semseg_protocol_iiou_hand_computed():
+    """Official-protocol iIoU uses the embedded cityscapesscripts
+    train-split avgClassSize/avgCategorySize constants; hand-compute the
+    weighted tp/fn with them and check score_semseg reproduces it (the
+    fp term makes protocol and datanorm numerically distinct here)."""
+    from centermask2_tpu.evaluation.cityscapes_semseg import (
+        AVG_CATEGORY_SIZE, AVG_CLASS_SIZE, score_semseg)
+
+    # person instances: 900 px fully matched + 100 px fully missed,
+    # plus 100 false-positive person pixels on road ground truth
+    gt = np.full((40, 40), 7, np.uint8)
+    inst = np.full((40, 40), 7, np.int64)
+    gt[:30, :30] = 24
+    inst[:30, :30] = 24000
+    gt[:10, 30:40] = 24
+    inst[:10, 30:40] = 24001
+    pred = np.full((40, 40), 7, np.uint8)
+    pred[:30, :30] = 24
+    pred[35:40, :20] = 24  # 100 px fp on road
+    res = score_semseg([(pred, gt)], [(pred, inst)])
+
+    # protocol: w = avgSize/instSize -> tp_w = 900*(A/900) = A,
+    # fn_w = 100*(A/100) = A, fp = 100 (unweighted)
+    a_cls = AVG_CLASS_SIZE["person"]
+    assert res["iIoU"] == pytest.approx(100.0 * a_cls / (2 * a_cls + 100))
+    a_cat = AVG_CATEGORY_SIZE["human"]
+    assert res["iIoU_sup"] == pytest.approx(
+        100.0 * a_cat / (2 * a_cat + 100))
+    # datanorm: avg from the evaluated GT = (900+100)/2 = 500
+    assert res["iIoU_datanorm"] == pytest.approx(
+        100.0 * 500.0 / (2 * 500.0 + 100))
+    assert res["iIoU_sup_datanorm"] == pytest.approx(
+        100.0 * 500.0 / (2 * 500.0 + 100))
+    # and they differ, pinning that two normalizers are really in play
+    assert abs(res["iIoU"] - res["iIoU_datanorm"]) > 0.1
+
+
 def test_cityscapes_semseg_evaluator_end_to_end(tmp_path):
     from PIL import Image
 
