@@ -568,7 +568,8 @@ def test_orbax_roundtrip(tmp_path):
 
 
 @pytest.mark.slow
-def test_overfit_single_image_detects_object():
+@pytest.mark.parametrize("dtype_name", ["float32", "bfloat16"])
+def test_overfit_single_image_detects_object(dtype_name):
     """Whole-loop correctness sanity: training on ONE synthetic image
     must let the model re-detect its own training object — GT assignment,
     losses, backward, optimizer, decode, NMS, and the mask head all have
@@ -589,7 +590,12 @@ def test_overfit_single_image_detects_object():
     gradients exist only at positives) — a dead channel pins that box
     edge to the location coordinate forever (measured: IoU plateaus at
     0.45 with x1 == loc_x for 175+ iters). A small positive bias on
-    bbox_pred revives all channels."""
+    bbox_pred revives all channels.
+
+    Runs in BOTH compute dtypes: bfloat16 is what train_net.py ships by
+    default (TPU.COMPUTE_DTYPE, config/defaults.py) — the whole loop
+    (assignment, losses, backward, SGD) must converge in that numeric
+    path, not just the f32 one the oracles use."""
     import flax
 
     from centermask2_tpu.models import CenterMask, GroundTruth
@@ -603,7 +609,7 @@ def test_overfit_single_image_detects_object():
         pre_nms_topk_test=50, post_nms_topk_test=10, nms_candidates=50,
         pre_nms_topk_train=50, post_nms_topk_train=20,
         batch_size_per_image=32, max_fg_proposals=8,
-        dtype=jnp.float32)
+        dtype=jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32)
 
     # one 128x128 image, normalized scale: textured bright rectangle on
     # dark noise; the instance mask is the full gt box
@@ -678,3 +684,49 @@ def test_overfit_single_image_detects_object():
     assert ok, ("no confident re-detection after training: "
                 f"score={score}, iou={iou}, mask_frac={mask_frac}, "
                 f"loss {first_loss} -> {last_loss}")
+
+
+@pytest.mark.slow
+def test_train_step_bf16_drift_vs_f32():
+    """The training analog of test_bf16_inference_drift_vs_f32
+    (test_e2e_torch.py): train_net.py trains with COMPUTE_DTYPE=bfloat16
+    by default (config/defaults.py TPU section), while every gradient
+    oracle forces f32. One identical train step in both dtypes: the bf16
+    step must produce finite losses close to f32's, update the params,
+    and move them in the SAME direction (a dtype bug in the backward —
+    sign flip, silent f32 promotion, saturated cast — decorrelates the
+    update; bf16 rounding alone does not)."""
+    from centermask2_tpu.models import CenterMask
+
+    images, gt = _parity_batch(2, n_gt=2)
+    runs = {}
+    for name, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        model = CenterMask(
+            conv_body="V-19-slim-eSE", mask_on=True, maskiou_on=True,
+            pre_nms_topk_train=20, post_nms_topk_train=10,
+            nms_candidates=20, batch_size_per_image=16, max_fg_proposals=2,
+            dtype=dtype)
+        deltas, metrics, _ = _run_parity_step(model, images, gt, 1)
+        runs[name] = (deltas, metrics)
+
+    d32, m32 = runs["f32"]
+    d16, m16 = runs["bf16"]
+    # finite, comparable losses (bf16 keeps ~3 decimal digits through
+    # the forward; losses are f32 reductions of bf16 activations)
+    for k in m32:
+        assert np.isfinite(m16[k]), (k, m16)
+        assert abs(m16[k] - m32[k]) <= 0.05 * abs(m32[k]) + 0.02, (
+            k, m32[k], m16[k])
+
+    # params moved, and in the same direction as the f32 step: global
+    # cosine similarity over the concatenated update vector
+    flat32 = np.concatenate([np.asarray(v, np.float64).ravel()
+                             for v in jax.tree.leaves(d32)])
+    flat16 = np.concatenate([np.asarray(v, np.float64).ravel()
+                             for v in jax.tree.leaves(d16)])
+    n32, n16 = np.linalg.norm(flat32), np.linalg.norm(flat16)
+    assert n16 > 0, "bf16 step did not update the params"
+    cos = float(flat32 @ flat16 / (n32 * n16))
+    assert cos > 0.9, f"bf16 update decorrelated from f32: cos={cos}"
+    # magnitude agreement (catches double-counted or dropped grad terms)
+    assert 0.5 < n16 / n32 < 2.0, (n16, n32)
