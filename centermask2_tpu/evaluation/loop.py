@@ -40,6 +40,7 @@ def evaluate_dataset(
     kpt_oks_sigmas=None,
     tight: Optional[bool] = None,
     tight_compute: bool = False,
+    distributed: bool = False,
 ):
     """Evaluate ``model`` over a COCO-format dataset one image at a time.
 
@@ -116,6 +117,12 @@ def evaluate_dataset(
                               kpt_oks_sigmas=kpt_oks_sigmas)
 
     ids = ds.ids[:limit] if limit else ds.ids
+    multiproc = distributed and jax.process_count() > 1
+    if multiproc:
+        # each process evaluates a strided slice of the dataset
+        # (detectron2 InferenceSampler analog); predictions merge below
+        from centermask2_tpu.parallel import process_subset
+        ids = list(process_subset(ids))
 
     def produce():
         for img_id in ids:
@@ -163,6 +170,21 @@ def evaluate_dataset(
     while pending:
         drain(pending)
     wall = time.perf_counter() - t_start
+
+    if multiproc:
+        # merge per-process predictions before scoring (the reference's
+        # cross-rank comm.gather, coco_evaluation.py:154-160 — here a
+        # multihost_utils process_allgather of the serialized records);
+        # scoring runs on the main process only, like rank 0 there.
+        from centermask2_tpu.parallel import (all_gather_objects,
+                                              is_main_process)
+        gathered = all_gather_objects(
+            (evaluator.predictions, evaluator.proposals))
+        evaluator.predictions = [p for preds, _ in gathered for p in preds]
+        evaluator.proposals = {k: v for _, props in gathered
+                               for k, v in props.items()}
+        if not is_main_process():
+            return {}, wall / max(len(ids), 1) * 1000.0, evaluator
 
     results = evaluator.evaluate()
     results["box_proposals"] = evaluator.evaluate_proposals()

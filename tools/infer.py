@@ -156,6 +156,14 @@ def main():
     if not args.data_parallel:
         from centermask2_tpu.evaluation.loop import evaluate_dataset
 
+        # multi-process eval: with CM2_COORDINATOR/CM2_NUM_PROCESSES/
+        # CM2_PROCESS_ID set, each process scores a strided dataset slice
+        # and predictions merge via process_allgather before rank-0
+        # scoring (reference coco_evaluation.py:154-160)
+        from centermask2_tpu.parallel import init_distributed, is_main_process
+        init_distributed()
+        multiproc = jax.process_count() > 1
+
         results, avg_ms, evaluator = evaluate_dataset(
             model, variables, ann=args.ann, image_root=args.image_root,
             fixed_size=fixed, min_size=cfg.INPUT.MIN_SIZE_TEST,
@@ -163,7 +171,10 @@ def main():
             tasks=tuple(args.tasks.split(",")), limit=args.limit, fn=fn,
             ds=ds, gt=gt, pipeline_depth=max(2, args.batch_size),
             kpt_oks_sigmas=cfg.TEST.KEYPOINT_OKS_SIGMAS,
-            tight=model.s2d_input, tight_compute=args.tight_compute)
+            tight=model.s2d_input, tight_compute=args.tight_compute,
+            distributed=multiproc)
+        if multiproc and not is_main_process():
+            return  # rank 0 owns scoring + artifacts
         finish(args, results, evaluator, avg_ms)
         return
 

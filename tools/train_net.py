@@ -49,7 +49,10 @@ def main():
     from centermask2_tpu.config import get_cfg
     from centermask2_tpu.data.coco import CocoDataset, train_batches
     from centermask2_tpu.models import GroundTruth, build_centermask
-    from centermask2_tpu.parallel import make_mesh, shard_batch, replicate
+    from centermask2_tpu.parallel import (global_mesh, init_distributed,
+                                          is_main_process, make_mesh,
+                                          replicate, replicate_from_host,
+                                          shard_batch, shard_host_batch)
     from centermask2_tpu.train import (create_train_state, make_optimizer,
                                        make_train_step)
     from centermask2_tpu.checkpoint.orbax_io import (latest_checkpoint,
@@ -64,11 +67,21 @@ def main():
         cfg.merge_from_list(args.opts)
     max_iter = args.max_iter or cfg.SOLVER.MAX_ITER
 
+    # multi-host: join the cluster when CM2_COORDINATOR/CM2_NUM_PROCESSES/
+    # CM2_PROCESS_ID are set (a no-op otherwise); the SAME shard_map train
+    # step then runs over the global mesh spanning every process's chips
+    # — the reference's process-spanning DDP launch (its README.md:290),
+    # with XLA collectives over ICI/DCN instead of NCCL.
+    init_distributed()
+    multiproc = jax.process_count() > 1
+    main_proc = is_main_process()
+
     model = build_centermask(cfg)
-    mesh = make_mesh()
+    mesh = global_mesh() if multiproc else make_mesh()
     n_dev = len(jax.devices())
-    batch_size = cfg.SOLVER.IMS_PER_BATCH
+    batch_size = cfg.SOLVER.IMS_PER_BATCH  # GLOBAL batch (reference: 16)
     assert batch_size % n_dev == 0, (batch_size, n_dev)
+    local_batch = batch_size // jax.process_count()
 
     fixed = cfg.TPU.FIXED_EDGE_SIZE
     from centermask2_tpu.data.preprocess import input_transform_for
@@ -103,7 +116,8 @@ def main():
             state = load_checkpoint(path, target=state)
             print(f"resumed from {path} at step {int(state.step)}")
 
-    state = replicate(state, mesh)
+    state = (replicate_from_host(jax.device_get(state), mesh)
+             if multiproc else replicate(state, mesh))
     train_step = make_train_step(model, optimizer, mesh=mesh)
 
     ds = CocoDataset(args.ann, args.image_root,
@@ -116,15 +130,19 @@ def main():
             print(f"dropped {dropped} images with < "
                   f"{cfg.MODEL.ROI_KEYPOINT_HEAD.MIN_KEYPOINTS_PER_IMAGE} "
                   "visible keypoints")
-    print(f"{len(ds)} training images, {n_dev} devices, batch {batch_size}")
+    if main_proc:
+        print(f"{len(ds)} training images, {n_dev} devices "
+              f"({jax.process_count()} processes), batch {batch_size}")
     from centermask2_tpu.data.prefetch import prefetch
+    # each process draws its own LOCAL batch stream: a per-process seed
+    # offset decorrelates the sampling (detectron2 per-rank sampler)
     batches = prefetch(train_batches(
-        ds, batch_size,
+        ds, local_batch,
         min_sizes=tuple(cfg.INPUT.MIN_SIZE_TRAIN),
         max_size=cfg.INPUT.MAX_SIZE_TRAIN,
         pad_to=(fixed, fixed),
         max_gt=cfg.TPU.MAX_GT_INSTANCES,
-        seed=max(cfg.SEED, 0),
+        seed=max(cfg.SEED, 0) + jax.process_index(),
         random_flip=cfg.INPUT.RANDOM_FLIP,
         sampling=cfg.INPUT.MIN_SIZE_TRAIN_SAMPLING,
         workers=cfg.DATALOADER.NUM_WORKERS,
@@ -150,8 +168,9 @@ def main():
         eval_tasks = ("bbox", "segm") if cfg.MODEL.MASK_ON else ("bbox",)
 
     start = int(jax.device_get(state.step))
-    storage = EventStorage(os.path.join(out_dir, "metrics.jsonl"),
-                           start_iter=start)
+    storage = EventStorage(
+        os.path.join(out_dir, "metrics.jsonl") if main_proc else None,
+        start_iter=start)
     rng = jax.random.PRNGKey(start)
     t0 = time.perf_counter()
     for it, batch in enumerate(batches, start=start):
@@ -166,28 +185,51 @@ def main():
                        if "gt_keypoints" in batch else None),
             image_sizes=jnp.asarray(batch["image_size"], jnp.float32))
         images = jnp.asarray(to_input(batch["image"]))
-        images, gt = shard_batch((images, gt), mesh)
+        if multiproc:
+            images, gt = shard_host_batch(
+                jax.tree.map(np.asarray, (images, gt)), mesh)
+        else:
+            images, gt = shard_batch((images, gt), mesh)
         rng, step_rng = jax.random.split(rng)
+        if multiproc and it == start:
+            # first step: AOT-compile locally (feeds the persistent
+            # compilation cache), then rendezvous — cross-process compile
+            # skew otherwise exceeds the Gloo context-init timeout at the
+            # first gradient psum
+            from centermask2_tpu.parallel import barrier
+            train_step.lower(state, images, gt, step_rng).compile()
+            barrier("cm2_first_step", 3_600_000)
         state, metrics = train_step(state, images, gt, step_rng)
 
         if (it + 1) % args.log_every == 0:
             m = jax.tree.map(float, jax.device_get(metrics))
             dt = (time.perf_counter() - t0) / args.log_every
             t0 = time.perf_counter()
-            storage.put_scalars(**m)
-            storage.put_scalar("s_per_iter", dt)
-            print(f"iter {it + 1}/{max_iter} "
-                  + " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items()))
-                  + f" ({dt:.2f} s/it)")
+            if main_proc:
+                storage.put_scalars(**m)
+                storage.put_scalar("s_per_iter", dt)
+                print(f"iter {it + 1}/{max_iter} "
+                      + " ".join(f"{k}={v:.4f}"
+                                 for k, v in sorted(m.items()))
+                      + f" ({dt:.2f} s/it)")
         if (it + 1) % cfg.SOLVER.CHECKPOINT_PERIOD == 0 or (it + 1) == max_iter:
-            path = save_checkpoint(os.path.join(out_dir, "checkpoints"),
-                                   jax.device_get(state), it + 1)
-            print(f"saved {path}")
+            # state is replicated: every process holds the full values,
+            # so only the main process writes (reference rank-0 saver)
+            if main_proc:
+                path = save_checkpoint(os.path.join(out_dir, "checkpoints"),
+                                       jax.device_get(state), it + 1)
+                print(f"saved {path}")
         if (eval_period > 0
                 and ((it + 1) % eval_period == 0 or (it + 1) == max_iter)):
             eval_vars = dict(state.params)  # device-resident, replicated
             if state.model_state:  # BN running stats for eval forward
                 eval_vars.update(state.model_state)
+            if multiproc:
+                # the eval forward is a per-process single-device jit:
+                # hand it host values, not global-mesh arrays; each
+                # process scores its dataset slice and the predictions
+                # merge inside evaluate_dataset (distributed=True)
+                eval_vars = jax.device_get(eval_vars)
             results, _, _ = evaluate_dataset(
                 model, eval_vars,
                 ann=args.val_ann,
@@ -195,13 +237,15 @@ def main():
                 fixed_size=fixed, min_size=cfg.INPUT.MIN_SIZE_TEST,
                 max_size=cfg.INPUT.MAX_SIZE_TEST, limit=args.val_limit,
                 fn=eval_fn, ds=eval_ds, gt=eval_gt, tasks=eval_tasks,
-                progress_every=0, tight=model.s2d_input)
-            flat = {f"{task}/{k}": v for task, m in results.items()
-                    for k, v in m.items() if not k.startswith("AP-")}
-            storage.put_scalars(**flat)
-            print(f"eval @{it + 1}: " + " ".join(
-                f"{k}={v:.2f}" for k, v in flat.items()
-                if k in ("bbox/AP", "segm/AP", "bbox/AP50", "segm/AP50")))
+                progress_every=0, tight=model.s2d_input,
+                distributed=multiproc)
+            if main_proc:
+                flat = {f"{task}/{k}": v for task, m in results.items()
+                        for k, v in m.items() if not k.startswith("AP-")}
+                storage.put_scalars(**flat)
+                print(f"eval @{it + 1}: " + " ".join(
+                    f"{k}={v:.2f}" for k, v in flat.items()
+                    if k in ("bbox/AP", "segm/AP", "bbox/AP50", "segm/AP50")))
         storage.step()
 
 
