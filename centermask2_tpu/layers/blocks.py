@@ -298,6 +298,17 @@ def max_pool2d_ceil(
 
     The OSA stage downsampler (vovnet.py:345). Ceil mode realized by
     -inf padding on bottom/right sized so the last window starts in-bounds.
+
+    NEGATIVE RESULT (round 5, measured on v5e — do not retry): a custom
+    VJP that records each window's first-max tap index in the forward
+    (argmax over 9 stacked strided views) and replays it as 9 strided
+    where-adds in the backward regressed the V-39 train step 57.2 ->
+    70.0 ms: XLA materializes the (k^2, N, oh, ow, C) view stack and the
+    9 input-sized accumulation buffers instead of fusing a windowed
+    pass, adding ~6 ms of unattributed fusions + ~3 ms backbone traffic
+    against the 0.68 ms select-and-scatter it was meant to replace.
+    XLA's select-and-scatter backward is within ~0.6 ms of anything
+    achievable here without a hand-written Pallas windowed kernel.
     """
     h, w = x.shape[1], x.shape[2]
     out_h = -(-(h - kernel) // stride) + 1

@@ -130,6 +130,25 @@ def test_max_pool_ceil_matches_torch(h, w):
     np.testing.assert_allclose(got, ref, rtol=RTOL, atol=ATOL)
 
 
+@pytest.mark.parametrize("h,w", [(9, 9), (10, 10), (33, 7)])
+def test_max_pool_ceil_gradient_matches_torch(h, w):
+    """Pool BACKWARD tie semantics: XLA's select-and-scatter and torch's
+    MaxPool2d backward both route each window's cotangent to the FIRST
+    maximal element in window order. Random inputs (no ties) and an
+    all-ones input (every window one big tie) must produce identical
+    gradients. (Round 5 pinned this while evaluating — and rejecting,
+    see blocks.py — a custom pool VJP.)"""
+    rng = np.random.RandomState(7)
+    for x in (rng.randn(1, 3, h, w).astype(np.float32),
+              np.ones((1, 3, h, w), np.float32)):
+        xt = torch.from_numpy(x).requires_grad_(True)
+        TF.max_pool2d(xt, 3, 2, ceil_mode=True).sum().backward()
+        gj = jax.grad(lambda a: max_pool2d_ceil(a).sum())(
+            jnp.asarray(to_nhwc(x)))
+        np.testing.assert_array_equal(
+            np.asarray(from_nhwc(gj)), xt.grad.numpy())
+
+
 def test_hsigmoid_matches_torch():
     x = np.linspace(-5, 5, 31).astype(np.float32)
     ref = (TF.relu6(torch.from_numpy(x) + 3.0) / 6.0).numpy()

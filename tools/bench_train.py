@@ -87,15 +87,28 @@ def main():
 
     # min of each arm SEPARATELY before differencing: min over paired
     # differences is biased low when interference hits the n=1 baseline
-    # (see bench.py)
-    best_one = best_many = float("inf")
-    for _ in range(3):
+    # (see bench.py). Sample across a time budget (BENCH_REPS /
+    # BENCH_BUDGET_S): train wall time is window-dependent by ~13% on
+    # the shared tunnel (measured 50.6 vs 57.2 ms for the SAME cached
+    # executable 40 min apart, round 5), so a single 3-rep burst can
+    # pin the whole number to one window's quality. Report the spread
+    # ((median-min)/min over the n=iters samples) as the qualifier.
+    reps = max(3, int(os.environ.get("BENCH_REPS", "8")))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "120"))
+    best_one = float("inf")
+    many = []
+    t_start = time.perf_counter()
+    for rep in range(reps):
+        if rep >= 3 and time.perf_counter() - t_start > budget_s:
+            break
         t0 = time.perf_counter()
         jax.block_until_ready(fn(state, 1))
         best_one = min(best_one, time.perf_counter() - t0)
         t0 = time.perf_counter()
         jax.block_until_ready(fn(state, iters))
-        best_many = min(best_many, time.perf_counter() - t0)
+        many.append(time.perf_counter() - t0)
+    best_many = min(many)
+    spread = float(np.median(many) - best_many) / best_many
     best = (best_many - best_one) / (iters - 1)
 
     ms = best * 1000.0
@@ -108,6 +121,7 @@ def main():
         "remat": remat,
         "s2d": s2d,
         "imgs_per_sec": round(B / best, 2),
+        "window_spread": round(spread, 3),
     }
 
     # MFU of the whole train step (fwd + bwd + SGD): exact HLO flops of
