@@ -26,7 +26,15 @@ FCOS decode+NMS -> SAG-Mask -> MaskIoU) on one chip and reports:
   for the deploy square,
 - batched_images_per_sec: same pipelined loop at the requested depth
   (the fastest single-chip batched mode — XLA's B>1 conv layouts
-  regress, see CenterMask.inference_batched).
+  regress, see CenterMask.inference_batched),
+- window_spread / square_1344_window_spread: (median-min)/min over the
+  chained-loop samples — ~0 in a healthy window, >~0.08 flags tunnel
+  time-sharing degradation (the square section re-samples once when
+  degraded AND below 5x),
+- nms_pallas_equal: per-artifact on-chip certification that the fused
+  Pallas greedy-NMS keep sets are bit-identical to the pure-XLA tiled
+  fixpoint at decode shapes (the primary metric's graph auto-routes to
+  the Pallas kernel on TPU).
 
 Prints ONE JSON line.
 """
